@@ -1,0 +1,187 @@
+"""Fused semi-supervised GAN training.
+
+The reference's training (mr_gan.py:183-228) is a host-driven loop making
+~24,000 device calls per training (100 epochs x 120 batches x 2 updates) with
+numpy batch slicing in between. Here one training = ONE jitted computation:
+
+    lax.scan over epochs
+      -> device-side permutation schedules (train.schedule)
+      -> lax.scan over batches
+           -> discriminator Adam step (labeled + unlabeled + fake losses)
+           -> generator Adam step (feature matching) against the *updated*
+              discriminator (the reference's sequential K.function semantics)
+
+and six folds run together under vmap, so a whole table sweep cell is a single
+XLA program with zero host round-trips.
+
+Feature dims are padded to an MXU-friendly multiple (lane width 128); padded
+columns are kept exactly inert by masking the discriminator's input noise and
+the generator's output, which preserves bit-level equivalence of the math with
+the unpadded model (zero inputs -> zero gradients -> frozen dead weights).
+"""
+
+import dataclasses
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import losses, nets
+from . import optim, schedule
+
+
+@dataclasses.dataclass(frozen=True)
+class GanConfig:
+    noise_size: int = 100          # mr_gan.py:77
+    batch_size: int = 50           # mr_gan.py:78
+    unlabeled_weight: float = 1.0  # mr_gan.py:79
+    epochs: int = 100              # mr_gan.py:73
+    lr: float = 6e-4               # mr_gan.py:165
+    beta1: float = 0.5
+    num_classes: int = 6
+    pad_multiple: int = 128        # TPU lane width; 1 disables padding
+    track_epoch_metrics: bool = False
+
+
+def pad_dim(d, multiple):
+    return -(-d // multiple) * multiple
+
+
+def pad_features(x, multiple=128):
+    """Zero-pad feature columns to a lane-aligned width. Returns (x_pad, D)."""
+    d = x.shape[-1]
+    dp = pad_dim(d, multiple)
+    if dp == d:
+        return x, d
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, dp - d)]
+    return np.pad(np.asarray(x), pad), d
+
+
+def init_params(key, feat_dim, cfg: GanConfig):
+    kg, kd = jax.random.split(key)
+    return {
+        "gen": nets.generator_init(kg, cfg.noise_size, feat_dim),
+        "disc": nets.discriminator_init(kd, feat_dim, cfg.num_classes),
+    }
+
+
+def _masks(feat_dim, valid_dim):
+    if valid_dim >= feat_dim:
+        return None
+    # Static -> embedded as an XLA constant
+    return (np.arange(feat_dim) < valid_dim).astype(np.float32)
+
+
+def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
+               *, n_train, valid_dim, cfg: GanConfig):
+    """Train a single GAN cell end-to-end; returns (test_error, metrics)."""
+    feat_dim = x_labeled.shape[-1]
+    n_lab = x_labeled.shape[0]
+    n_pool = pool.shape[0]
+    bs = cfg.batch_size
+    nb = n_train // bs
+    mask = _masks(feat_dim, valid_dim)
+
+    k_init, k_run = jax.random.split(key)
+    params = init_params(k_init, feat_dim, cfg)
+    opt_d = optim.init(params["disc"])
+    opt_g = optim.init(params["gen"])
+
+    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1)
+
+    def disc_fwd(pd, x, k):
+        return nets.discriminator_apply(pd, x, k, train=True, in_mask=mask)
+
+    def batch_step(carry, inputs):
+        pg, pd, od, og = carry
+        xl, yl, xu, xu2, k = inputs
+        k_z1, k_z2, k_d1, k_d2, k_d3, k_g1, k_g2 = jax.random.split(k, 7)
+
+        # --- discriminator update (mr_gan.py:166,169; train_batch_disc) ---
+        z1 = jax.random.normal(k_z1, (bs, cfg.noise_size))
+        x_fake = nets.generator_apply(pg, z1, out_mask=mask)
+
+        def d_loss(pd_):
+            logits_lab, _ = disc_fwd(pd_, xl, k_d1)
+            logits_unl, _ = disc_fwd(pd_, xu, k_d2)
+            logits_fake, _ = disc_fwd(pd_, x_fake, k_d3)
+            ll = losses.loss_labeled(logits_lab, yl)
+            lu = losses.loss_unlabeled(logits_unl, logits_fake)
+            terr = losses.error_rate(logits_lab, yl)
+            return ll + cfg.unlabeled_weight * lu, (ll, lu, terr)
+
+        d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd)
+        pd, od = adam(d_grads, od, pd)
+
+        # --- generator update against the updated discriminator ---
+        z2 = jax.random.normal(k_z2, (bs, cfg.noise_size))
+
+        def g_loss(pg_):
+            xf = nets.generator_apply(pg_, z2, out_mask=mask)
+            _, mid_fake = disc_fwd(pd, xf, k_g1)
+            _, mid_real = disc_fwd(pd, xu2, k_g2)
+            return losses.loss_feature_matching(mid_fake, mid_real)
+
+        g_grads = jax.grad(g_loss)(pg)
+        pg, og = adam(g_grads, og, pg)
+        return (pg, pd, od, og), (ll, lu, terr)
+
+    def epoch_body(carry, k_epoch):
+        k_lab, k_u1, k_u2, k_steps = jax.random.split(k_epoch, 4)
+        lab_idx = schedule.tiled_permutation(k_lab, n_lab, n_train)[: nb * bs]
+        u1_idx = schedule.tiled_permutation(k_u1, n_pool, n_train)[: nb * bs]
+        u2_idx = schedule.tiled_permutation(k_u2, n_pool, n_train)[: nb * bs]
+        xl = x_labeled[lab_idx].reshape(nb, bs, feat_dim)
+        yl = y_labeled[lab_idx].reshape(nb, bs)
+        xu = pool[u1_idx].reshape(nb, bs, feat_dim)
+        xu2 = pool[u2_idx].reshape(nb, bs, feat_dim)
+        step_keys = jax.random.split(k_steps, nb)
+        carry, (ll, lu, terr) = jax.lax.scan(
+            batch_step, carry, (xl, yl, xu, xu2, step_keys)
+        )
+        return carry, (jnp.mean(ll), jnp.mean(lu), jnp.mean(terr))
+
+    epoch_keys = jax.random.split(k_run, cfg.epochs)
+    (pg, pd, od, og), metrics = jax.lax.scan(
+        epoch_body, (params["gen"], params["disc"], opt_d, opt_g), epoch_keys
+    )
+
+    # Final full-test-set evaluation, eval phase (mr_gan.py:230)
+    logits, _ = nets.discriminator_apply(pd, x_test, train=False)
+    test_error = losses.error_rate(logits, y_test)
+    out_metrics = (
+        {"loss_lab": metrics[0], "loss_unl": metrics[1], "train_err": metrics[2]}
+        if cfg.track_epoch_metrics
+        else {}
+    )
+    return test_error, {"params": {"gen": pg, "disc": pd}, **out_metrics}
+
+
+@lru_cache(maxsize=64)
+def _compiled_fold_trainer(n_train, valid_dim, cfg, with_params):
+    """jit(vmap(train_one)) specialised to a cell's static shapes."""
+
+    def one(key, x_labeled, y_labeled, pool, x_test, y_test):
+        err, aux = _train_one(
+            key, x_labeled, y_labeled, pool, x_test, y_test,
+            n_train=n_train, valid_dim=valid_dim, cfg=cfg,
+        )
+        if not with_params:
+            aux = {k: v for k, v in aux.items() if k != "params"}
+        return err, aux
+
+    return jax.jit(jax.vmap(one))
+
+
+def train_folds(keys, x_labeled, y_labeled, pool, x_test, y_test, n_train,
+                valid_dim=None, cfg: GanConfig = GanConfig(), with_params=False):
+    """Train F folds of one sweep cell as a single fused XLA program.
+
+    All array args carry a leading fold axis F; shapes must match across folds
+    (guaranteed by the stratified splits). Returns (test_errors (F,), aux).
+    """
+    if valid_dim is None:
+        valid_dim = x_labeled.shape[-1]
+    fn = _compiled_fold_trainer(int(n_train), int(valid_dim), cfg, with_params)
+    return fn(keys, x_labeled, y_labeled, pool, x_test, y_test)

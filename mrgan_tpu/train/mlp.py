@@ -1,0 +1,109 @@
+"""Supervised MLP baseline trainer (mr_nn.py:69-119).
+
+Keras-semantics: MSE loss against one-hot targets, Adam(lr=1e-3), batch 20,
+100 epochs, per-epoch shuffle, GaussianNoise regularization active only in
+training. Like the GAN trainer, a whole fold-stack trains as one fused
+scan-over-epochs/scan-over-batches XLA program under vmap.
+"""
+
+import dataclasses
+from functools import lru_cache
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..models import nets
+from . import gan as gan_mod
+from . import optim
+
+
+@dataclasses.dataclass(frozen=True)
+class MlpConfig:
+    batch_size: int = 20     # mr_nn.py:117
+    epochs: int = 100
+    lr: float = 1e-3         # keras Adam default (mr_nn.py:114)
+    beta1: float = 0.9
+    num_classes: int = 6
+    pad_multiple: int = 128
+
+
+def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
+    feat_dim = x_lab.shape[-1]
+    n = x_lab.shape[0]
+    bs = cfg.batch_size
+    nb = n // bs
+    mask = gan_mod._masks(feat_dim, valid_dim)
+    y_onehot = jax.nn.one_hot(y_lab, cfg.num_classes)
+
+    k_init, k_run = jax.random.split(key)
+    params = nets.mlp_init(k_init, feat_dim, cfg.num_classes)
+    opt = optim.init(params)
+
+    def batch_step(carry, inputs):
+        params, opt = carry
+        xb, yb, k = inputs
+
+        def loss_fn(p):
+            logits = nets.mlp_apply(p, xb, k, train=True, in_mask=mask)
+            return jnp.mean(jnp.square(logits - yb))
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        params, opt = optim.update(grads, opt, params, lr=cfg.lr, b1=cfg.beta1)
+        return (params, opt), loss
+
+    def epoch_body(carry, k_epoch):
+        k_perm, k_steps = jax.random.split(k_epoch)
+        perm = jax.random.permutation(k_perm, n)[: nb * bs]
+        xb = x_lab[perm].reshape(nb, bs, feat_dim)
+        yb = y_onehot[perm].reshape(nb, bs, cfg.num_classes)
+        keys = jax.random.split(k_steps, nb)
+        carry, losses_ = jax.lax.scan(batch_step, carry, (xb, yb, keys))
+        return carry, jnp.mean(losses_)
+
+    (params, _), _ = jax.lax.scan(
+        epoch_body, (params, opt), jax.random.split(k_run, cfg.epochs)
+    )
+    logits = nets.mlp_apply(params, x_test, train=False)
+    return jnp.mean(jnp.argmax(logits, axis=1) != y_test)
+
+
+@lru_cache(maxsize=64)
+def _compiled(valid_dim, cfg):
+    def one(key, x_lab, y_lab, x_test, y_test):
+        return _train_one(key, x_lab, y_lab, x_test, y_test,
+                          valid_dim=valid_dim, cfg=cfg)
+
+    return jax.jit(jax.vmap(one))
+
+
+def train_folds(keys, x_lab, y_lab, x_test, y_test, valid_dim=None,
+                cfg: MlpConfig = MlpConfig()):
+    if valid_dim is None:
+        valid_dim = x_lab.shape[-1]
+    return _compiled(int(valid_dim), cfg)(keys, x_lab, y_lab, x_test, y_test)
+
+
+def run_mlp_cell(x, y, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
+                 n_splits=6, splits=None):
+    """mr_nn.py table cell: k folds fused; returns per-fold test errors."""
+    from . import protocol
+
+    rng = np.random.RandomState(seed)
+    if splits is None:
+        splits = protocol.stratified_splits(y, n_splits=n_splits, seed=seed)
+    folds = [
+        protocol.prepare_fold(x[tr], y[tr], x[te], y[te], percentlabeled,
+                              None, cfg.num_classes, rng)
+        for tr, te in splits
+    ]
+    stacked = protocol.stack_folds(folds)
+    valid_dim = stacked["x_labeled"].shape[-1]
+    for k in ("x_labeled", "x_test"):
+        stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
+    keys = jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds))
+    errs = train_folds(
+        keys, stacked["x_labeled"], stacked["y_labeled"],
+        stacked["x_test"], stacked["y_test"], valid_dim=valid_dim, cfg=cfg,
+    )
+    return np.asarray(errs)

@@ -1,0 +1,136 @@
+"""Experiment protocols: fold construction, scaling, labeled-subset selection.
+
+Host-side replication of the reference's per-fold data preparation
+(mr_gan.py:87-107): StandardScaler fit on train / applied to test, shuffle,
+then the first ``10*percentlabeled`` examples of each class form the labeled
+pool (and optionally the first ``10*(percentlabeled+percentunlabeled)`` form
+the unlabeled pool). The prepared folds are stacked along a leading fold axis
+and trained as ONE fused vmapped XLA program (train.gan.train_folds).
+
+Protocol generators (stratified 6-fold, leave-one-object-out over 72 objects)
+match mr_gan.py:255-279.
+"""
+
+import numpy as np
+from sklearn.model_selection import StratifiedKFold
+
+from . import gan
+
+
+def select_labeled(x_train, y_train, num_per_class, num_classes, rng):
+    """mr_gan.py:101-103: shuffle, then first-n-per-class."""
+    perm = rng.permutation(len(x_train))
+    x_train = x_train[perm]
+    y_train = y_train[perm]
+    xs, ys = [], []
+    for j in range(num_classes):
+        xs.append(x_train[y_train == j][:num_per_class])
+        ys.append(np.full(min(num_per_class, (y_train == j).sum()), j, np.int32))
+    return np.concatenate(xs, 0), np.concatenate(ys, 0), x_train, y_train
+
+
+def scale_fold(x_train, x_test):
+    """StandardScaler semantics (population std, zero-var columns pass through)."""
+    mean = x_train.mean(axis=0)
+    std = x_train.std(axis=0)
+    std[std == 0.0] = 1.0
+    return (x_train - mean) / std, (x_test - mean) / std
+
+
+def prepare_fold(x_train, y_train, x_test, y_test, percentlabeled,
+                 percentunlabeled=None, num_classes=6, rng=None):
+    """Returns dict of per-fold arrays ready for stacking."""
+    rng = rng or np.random
+    n_lab = int(10 * percentlabeled)
+    x_train = np.asarray(x_train, np.float32)
+    x_test = np.asarray(x_test, np.float32)
+    x_train, x_test = scale_fold(x_train, x_test)
+    x_labeled, y_labeled, x_shuf, y_shuf = select_labeled(
+        x_train, y_train, n_lab, num_classes, rng
+    )
+    if percentunlabeled is not None:
+        n_unl = n_lab + int(10 * percentunlabeled)
+        pool = np.concatenate(
+            [x_shuf[y_shuf == j][:n_unl] for j in range(num_classes)], 0
+        )
+    else:
+        pool = x_train
+    return {
+        "x_labeled": x_labeled.astype(np.float32),
+        "y_labeled": y_labeled.astype(np.int32),
+        "pool": pool.astype(np.float32),
+        "x_test": x_test.astype(np.float32),
+        "y_test": np.asarray(y_test, np.int32),
+        "n_train": len(x_train),
+    }
+
+
+def stack_folds(folds):
+    keys = ("x_labeled", "y_labeled", "pool", "x_test", "y_test")
+    return {k: np.stack([f[k] for f in folds]) for k in keys} | {
+        "n_train": folds[0]["n_train"]
+    }
+
+
+def stratified_splits(y, n_splits=6, seed=None):
+    """StratifiedKFold(n_splits, shuffle=True) index pairs (mr_gan.py:255)."""
+    skf = StratifiedKFold(n_splits=n_splits, shuffle=True, random_state=seed)
+    return list(skf.split(np.zeros(len(y)), y))
+
+
+def loo_splits(objects):
+    """Leave-one-object-out splits from a {name: {'x','y'}} dict
+    (mr_gan.py:274-279). Yields (name, x_train, y_train, x_test, y_test)."""
+    names = list(objects.keys())
+    for name in names:
+        x_test = np.array(objects[name]["x"])
+        y_test = np.array(objects[name]["y"])
+        x_train = np.concatenate(
+            [np.array(objects[n]["x"]) for n in names if n != name], 0
+        )
+        y_train = np.concatenate(
+            [np.array(objects[n]["y"]) for n in names if n != name], 0
+        )
+        yield name, x_train, y_train, x_test, y_test
+
+
+def run_gan_cell(x, y, percentlabeled, percentunlabeled=None,
+                 cfg: gan.GanConfig = gan.GanConfig(), seed=0, n_splits=6,
+                 splits=None, verbose=False):
+    """One sweep cell: k folds trained fused; returns per-fold test errors.
+
+    ``splits``: optional explicit (train_idx, test_idx) pairs or prepared-fold
+    list, else stratified ``n_splits``-fold on (x, y).
+    """
+    rng = np.random.RandomState(seed)
+    if splits is None:
+        splits = stratified_splits(y, n_splits=n_splits, seed=seed)
+    folds = []
+    for tr, te in splits:
+        folds.append(
+            prepare_fold(
+                x[tr], y[tr], x[te], y[te], percentlabeled, percentunlabeled,
+                cfg.num_classes, rng,
+            )
+        )
+    return run_prepared_folds(folds, cfg, rng)
+
+
+def run_prepared_folds(folds, cfg, rng):
+    """Pad, stack and train a list of prepared folds as one fused program."""
+    import jax
+
+    stacked = stack_folds(folds)
+    valid_dim = stacked["x_labeled"].shape[-1]
+    for k in ("x_labeled", "pool", "x_test"):
+        stacked[k], _ = gan.pad_features(stacked[k], cfg.pad_multiple)
+    keys = jax.random.split(
+        jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds)
+    )
+    errors, _aux = gan.train_folds(
+        keys,
+        stacked["x_labeled"], stacked["y_labeled"], stacked["pool"],
+        stacked["x_test"], stacked["y_test"], stacked["n_train"],
+        valid_dim=valid_dim, cfg=cfg,
+    )
+    return np.asarray(errors)

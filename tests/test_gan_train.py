@@ -1,0 +1,81 @@
+"""End-to-end GAN training smoke/learning tests on tiny synthetic blobs."""
+
+import numpy as np
+import jax
+
+from mrgan_tpu.train import gan, protocol, schedule
+from mrgan_tpu.models import losses
+import jax.numpy as jnp
+
+
+def _blobs(rng, n_per_class, dim, num_classes=6, sep=3.0):
+    centers = rng.randn(num_classes, dim) * sep
+    xs, ys = [], []
+    for c in range(num_classes):
+        xs.append(centers[c] + rng.randn(n_per_class, dim))
+        ys.append(np.full(n_per_class, c, np.int32))
+    return np.concatenate(xs).astype(np.float32), np.concatenate(ys)
+
+
+def test_losses_hand_computed():
+    logits = jnp.array([[1.0, 2.0, 0.0], [0.5, 0.5, 3.0]])
+    labels = jnp.array([1, 2])
+    lse = np.log(np.exp([1.0, 2.0, 0.0]).sum()), np.log(np.exp([0.5, 0.5, 3.0]).sum())
+    want = -np.mean([2.0, 3.0]) + np.mean(lse)
+    got = losses.loss_labeled(logits, labels)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
+
+    lu = losses.loss_unlabeled(logits, logits)
+    sp = np.log1p(np.exp(lse))
+    want_unl = -0.5 * np.mean(lse) + 0.5 * np.mean(sp) + 0.5 * np.mean(sp)
+    np.testing.assert_allclose(lu, want_unl, rtol=1e-4)
+
+    mid_fake = jnp.array([[1.0, 0.0], [3.0, 2.0]])
+    mid_real = jnp.array([[0.0, 1.0], [2.0, 3.0]])
+    # means: fake (2,1), real (1,2) -> diff (1,-1) -> mean square = 1
+    np.testing.assert_allclose(
+        losses.loss_feature_matching(mid_fake, mid_real), 1.0, rtol=1e-6
+    )
+
+
+def test_tiled_permutation_reference_semantics():
+    key = jax.random.PRNGKey(0)
+    out = np.asarray(schedule.tiled_permutation(key, 60, 200))
+    assert out.shape == (200,)
+    # three full perms of range(60) + a perm of range(20)
+    for r in range(3):
+        np.testing.assert_array_equal(np.sort(out[r * 60 : (r + 1) * 60]), np.arange(60))
+    np.testing.assert_array_equal(np.sort(out[180:]), np.arange(20))
+
+
+def test_gan_learns_blobs():
+    # 120/class, 3-fold -> uniform folds: train 480 / test 240 / labeled 480
+    rng = np.random.RandomState(0)
+    x, y = _blobs(rng, 120, 24)
+    cfg = gan.GanConfig(epochs=15, batch_size=50, pad_multiple=8)
+    errs = protocol.run_gan_cell(x, y, percentlabeled=8, cfg=cfg, seed=1, n_splits=3)
+    assert errs.shape == (3,)
+    assert errs.mean() < 0.15, f"GAN failed to learn separable blobs: {errs}"
+
+
+def test_gan_percentunlabeled_path():
+    rng = np.random.RandomState(2)
+    x, y = _blobs(rng, 60, 16)
+    cfg = gan.GanConfig(epochs=4, batch_size=50, pad_multiple=8)
+    errs = protocol.run_gan_cell(
+        x, y, percentlabeled=2, percentunlabeled=2, cfg=cfg, seed=3, n_splits=3
+    )
+    assert errs.shape == (3,)
+    assert np.isfinite(errs).all()
+
+
+def test_padding_equivalence():
+    """Padded-feature training must stay statistically equivalent to unpadded
+    (different noise draws, same problem — both solve easy blobs)."""
+    rng = np.random.RandomState(4)
+    x, y = _blobs(rng, 30, 20)
+    cfg = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=1)
+    cfg_pad = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=32)
+    errs = protocol.run_gan_cell(x, y, 10, cfg=cfg, seed=7, n_splits=2)
+    errs_pad = protocol.run_gan_cell(x, y, 10, cfg=cfg_pad, seed=7, n_splits=2)
+    assert errs.mean() < 0.2 and errs_pad.mean() < 0.2, (errs, errs_pad)
