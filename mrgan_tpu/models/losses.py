@@ -33,10 +33,19 @@ def loss_unlabeled(logits_unl, logits_fake):
     )
 
 
-def loss_feature_matching(mid_fake, mid_real):
-    """||E[f(G(z))] - E[f(x_unl)]||^2 / dim  (mr_gan.py:152-154)."""
+def loss_feature_matching(mid_fake, mid_real, axis_name=None):
+    """||E[f(G(z))] - E[f(x_unl)]||^2 / dim  (mr_gan.py:152-154).
+
+    ``axis_name``: data-parallel mesh axis. The loss is *nonlinear* in the
+    batch expectations, so under DP the feature means must be pmean'd across
+    shards BEFORE the square — per-shard losses averaged afterwards would be a
+    different objective.
+    """
     mom_gen = jnp.mean(mid_fake, axis=0)
     mom_real = jnp.mean(mid_real, axis=0)
+    if axis_name is not None:
+        mom_gen = jax.lax.pmean(mom_gen, axis_name)
+        mom_real = jax.lax.pmean(mom_real, axis_name)
     return jnp.mean(jnp.square(mom_gen - mom_real))
 
 

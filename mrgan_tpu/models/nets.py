@@ -55,9 +55,16 @@ def batchnorm_init(dim):
     return {"gamma": jnp.ones((dim,), jnp.float32), "beta": jnp.zeros((dim,), jnp.float32)}
 
 
-def batchnorm_train(p, x):
+def batchnorm_train(p, x, axis_name=None):
+    """Batch-stat normalization; ``axis_name`` extends the statistics across a
+    data-parallel mesh axis (pmean over shards) so a DP-sharded batch is
+    bit-equivalent to the single-device reference batch."""
     mean = jnp.mean(x, axis=0)
+    if axis_name is not None:
+        mean = jax.lax.pmean(mean, axis_name)
     var = jnp.mean((x - mean) ** 2, axis=0)
+    if axis_name is not None:
+        var = jax.lax.pmean(var, axis_name)
     inv = jax.lax.rsqrt(var + BN_EPS)
     return (x - mean) * inv * p["gamma"] + p["beta"]
 
@@ -76,14 +83,15 @@ def generator_init(key, noise_size, out_dim, hidden=500):
     }
 
 
-def generator_apply(params, z, out_mask=None, precision=None):
+def generator_apply(params, z, out_mask=None, precision=None, axis_name=None):
     """Forward the generator (always train-phase, like the reference).
 
     ``out_mask``: optional (D,) 0/1 mask zeroing padded feature columns so a
     feature-dim-padded discriminator can't separate real/fake on pad values.
+    ``axis_name``: data-parallel mesh axis for cross-shard BatchNorm stats.
     """
     x = jax.nn.softplus(dense(params["d1"], z, precision))
-    x = batchnorm_train(params["bn"], x)
+    x = batchnorm_train(params["bn"], x, axis_name=axis_name)
     x = jax.nn.softplus(dense(params["d2"], x, precision))
     x = dense(params["d3"], x, precision)
     if out_mask is not None:

@@ -1,0 +1,136 @@
+"""shard_map'd fused GAN train step: sweep ("cell") x data-parallel ("data").
+
+This is the full multi-chip training step: independent trainings ride the
+"cell" mesh axis with zero communication, while within each training the
+batch is sharded over the "data" axis with collectives only where the math
+requires them —
+
+- gradient pmean over "data" (the DP allreduce, rides ICI);
+- generator BatchNorm statistics pmean'd across shards (nets.batchnorm_train)
+  so sharded batch stats match the reference's full-batch stats
+  (mr_gan.py:112);
+- feature-matching moments pmean'd BEFORE the square
+  (losses.loss_feature_matching), because the Salimans generator loss is
+  nonlinear in the batch expectations (mr_gan.py:152-154).
+
+With equal shard sizes this is numerically the same objective as the
+reference's single-device step, just laid out across chips.
+"""
+
+from functools import lru_cache, partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from ..models import losses, nets
+from ..train import gan, optim
+
+
+def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
+                  mask=None, axis_name="data"):
+    """One fused disc+gen update on a batch shard; collectives over
+    ``axis_name``. Mirrors train.gan.batch_step (mr_gan.py:204-213 semantics)
+    with the three DP collectives documented in the module docstring."""
+    bs = xl.shape[0]  # local shard size
+    if axis_name is not None:
+        key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    k_z1, k_z2, k_d1, k_d2, k_d3, k_g1, k_g2 = jax.random.split(key, 7)
+
+    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1)
+
+    def disc_fwd(pd_, x, k):
+        return nets.discriminator_apply(pd_, x, k, train=True, in_mask=mask)
+
+    z1 = jax.random.normal(k_z1, (bs, cfg.noise_size))
+    x_fake = nets.generator_apply(pg, z1, out_mask=mask, axis_name=axis_name)
+
+    def d_loss(pd_):
+        logits_lab, _ = disc_fwd(pd_, xl, k_d1)
+        logits_unl, _ = disc_fwd(pd_, xu, k_d2)
+        logits_fake, _ = disc_fwd(pd_, x_fake, k_d3)
+        ll = losses.loss_labeled(logits_lab, yl)
+        lu = losses.loss_unlabeled(logits_unl, logits_fake)
+        terr = losses.error_rate(logits_lab, yl)
+        return ll + cfg.unlabeled_weight * lu, (ll, lu, terr)
+
+    d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd)
+    if axis_name is not None:
+        d_grads = jax.lax.pmean(d_grads, axis_name)
+    pd, od = adam(d_grads, od, pd)
+
+    z2 = jax.random.normal(k_z2, (bs, cfg.noise_size))
+
+    def g_loss(pg_):
+        xf = nets.generator_apply(pg_, z2, out_mask=mask, axis_name=axis_name)
+        _, mid_fake = disc_fwd(pd, xf, k_g1)
+        _, mid_real = disc_fwd(pd, xu2, k_g2)
+        return losses.loss_feature_matching(mid_fake, mid_real,
+                                            axis_name=axis_name)
+
+    g_grads = jax.grad(g_loss)(pg)
+    if axis_name is not None:
+        g_grads = jax.lax.pmean(g_grads, axis_name)
+    pg, og = adam(g_grads, og, pg)
+
+    metrics = {"loss_lab": ll, "loss_unl": lu, "train_err": terr}
+    if axis_name is not None:
+        metrics = jax.lax.pmean(metrics, axis_name)
+    return pg, pd, od, og, metrics
+
+
+@lru_cache(maxsize=16)
+def make_sweep_dp_step(cfg: gan.GanConfig, mesh, valid_dim=None):
+    """Build the jitted multi-chip train step.
+
+    Call signature of the returned function:
+      step(params, opt, batch, keys) with
+        params = {"gen": ..., "disc": ...} pytrees, leading cell axis C
+        opt    = {"d": ..., "g": ...} Adam states, leading cell axis C
+        batch  = dict(xl (C,B,D) f32, yl (C,B) i32, xu (C,B,D), xu2 (C,B,D))
+        keys   = (C, 2) uint32 PRNG keys (one per cell)
+    C is sharded over "cell"; B over "data"; params/opt replicated over
+    "data". Returns updated (params, opt, metrics).
+    """
+    cell = P("cell")
+    cell_data = P("cell", "data")
+
+    def local_step(params, opt, batch, keys):
+        mask = None
+        if valid_dim is not None:
+            feat_dim = batch["xl"].shape[-1]
+            mask = gan._masks(feat_dim, valid_dim)
+
+        def per_cell(pg, pd, od, og, xl, yl, xu, xu2, key):
+            return dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key,
+                                 cfg=cfg, mask=mask, axis_name="data")
+
+        pg, pd, od, og, metrics = jax.vmap(per_cell)(
+            params["gen"], params["disc"], opt["d"], opt["g"],
+            batch["xl"], batch["yl"], batch["xu"], batch["xu2"],
+            keys,
+        )
+        return {"gen": pg, "disc": pd}, {"d": od, "g": og}, metrics
+
+    in_specs = (
+        cell,                                     # params (leading cell axis)
+        cell,                                     # opt
+        {"xl": cell_data, "yl": cell_data, "xu": cell_data, "xu2": cell_data},
+        cell,                                     # keys
+    )
+    out_specs = (cell, cell, cell)
+    step = shard_map(local_step, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)
+    return jax.jit(step)
+
+
+def init_cells(key, n_cells, feat_dim, cfg: gan.GanConfig):
+    """Stacked per-cell params + Adam states (leading cell axis)."""
+    keys = jax.random.split(key, n_cells)
+    params = jax.vmap(lambda k: gan.init_params(k, feat_dim, cfg))(keys)
+    opt = {
+        "d": jax.vmap(optim.init)(params["disc"]),
+        "g": jax.vmap(optim.init)(params["gen"]),
+    }
+    return params, opt

@@ -1,0 +1,94 @@
+"""Sweep parallelism: shard stacked independent trainings across the mesh.
+
+The reference runs its sweep cells serially (mr_gan.py:248-261). Here every
+group of same-shaped work items (e.g. the 6 folds of a cell, or folds of many
+modality cells padded to one feature bucket) is stacked on a leading axis and
+sharded over the mesh's "cell" axis. Because the trainings are independent,
+XLA partitions the vmapped program with zero collectives — linear scaling
+across chips, the >20x wall-clock win of SURVEY.md §2.3.
+"""
+
+from functools import lru_cache, partial
+
+import numpy as np
+import jax
+
+from ..train import gan, mlp
+from . import mesh as mesh_lib
+
+
+def _pad_work_axis(arrs, w_padded):
+    """Pad the leading work axis by repeating item 0 (results are sliced off)."""
+    out = []
+    for a in arrs:
+        w = a.shape[0]
+        if w == w_padded:
+            out.append(a)
+        else:
+            reps = np.repeat(np.asarray(a[:1]), w_padded - w, axis=0)
+            out.append(np.concatenate([np.asarray(a), reps], axis=0))
+    return out
+
+
+@lru_cache(maxsize=64)
+def _sharded_gan_trainer(n_train, valid_dim, cfg, mesh):
+    sh = mesh_lib.cell_sharding(mesh)
+
+    def one(key, x_labeled, y_labeled, pool, x_test, y_test):
+        err, _ = gan._train_one(
+            key, x_labeled, y_labeled, pool, x_test, y_test,
+            n_train=n_train, valid_dim=valid_dim, cfg=cfg,
+        )
+        return err
+
+    return jax.jit(
+        jax.vmap(one), in_shardings=(sh,) * 6, out_shardings=sh
+    )
+
+
+def train_gan_work(keys, x_labeled, y_labeled, pool, x_test, y_test, n_train,
+                   valid_dim=None, cfg: gan.GanConfig = gan.GanConfig(),
+                   mesh=None):
+    """Train W independent GAN work items sharded across the mesh.
+
+    All arrays carry a leading work axis W (any size; padded internally to a
+    multiple of the mesh's cell-axis size). Returns (W,) test errors.
+    """
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if valid_dim is None:
+        valid_dim = x_labeled.shape[-1]
+    w = keys.shape[0]
+    n_cell = mesh.shape["cell"]
+    w_pad = mesh_lib.pad_to_multiple(w, n_cell)
+    args = _pad_work_axis(
+        [keys, x_labeled, y_labeled, pool, x_test, y_test], w_pad
+    )
+    fn = _sharded_gan_trainer(int(n_train), int(valid_dim), cfg, mesh)
+    errs = fn(*args)
+    return np.asarray(errs)[:w]
+
+
+@lru_cache(maxsize=64)
+def _sharded_mlp_trainer(valid_dim, cfg, mesh):
+    sh = mesh_lib.cell_sharding(mesh)
+
+    def one(key, x_lab, y_lab, x_test, y_test):
+        return mlp._train_one(key, x_lab, y_lab, x_test, y_test,
+                              valid_dim=valid_dim, cfg=cfg)
+
+    return jax.jit(jax.vmap(one), in_shardings=(sh,) * 5, out_shardings=sh)
+
+
+def train_mlp_work(keys, x_lab, y_lab, x_test, y_test, valid_dim=None,
+                   cfg: mlp.MlpConfig = mlp.MlpConfig(), mesh=None):
+    """MLP analog of train_gan_work: W independent trainings, mesh-sharded."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if valid_dim is None:
+        valid_dim = x_lab.shape[-1]
+    w = keys.shape[0]
+    w_pad = mesh_lib.pad_to_multiple(w, mesh.shape["cell"])
+    args = _pad_work_axis([keys, x_lab, y_lab, x_test, y_test], w_pad)
+    fn = _sharded_mlp_trainer(int(valid_dim), cfg, mesh)
+    return np.asarray(fn(*args))[:w]
