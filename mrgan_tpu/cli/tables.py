@@ -1,0 +1,297 @@
+"""Table sweep drivers. Protocols and stdout format match the reference's
+__main__ blocks line for line (mr_gan.py:236-342, mr_nn.py:121-169,
+mr_svm.py:118-166); execution is fused/sharded instead of serial.
+"""
+
+import argparse
+
+import numpy as np
+
+from .. import MODALITY_NAMES
+from ..data import mreo
+from ..train import gan, mlp, protocol, svm
+from ..utils import checkpoint as ckpt_lib
+from ..utils import metrics as M
+
+PERCENTS_KFOLD = [1, 2, 4, 8, 16, 50, 100]   # mr_gan.py:251
+PERCENTS_LOO = [1, 4, 16, 50, 100]            # mr_gan.py:271
+FT_TIMES = [4, 3, 2, 1, 0.5, 0.2, 0.1]        # mr_gan.py:290
+C_TIMES = [1, 0.7, 0.5, 0.3, 0.2, 0.1, 0.05]  # mr_gan.py:309
+UNLABELED_GRID = [0, 4, 8, 16, 32, 64, 96]    # mr_gan.py:330 (96 = 100-4)
+T1_MODALITIES = tuple(range(len(MODALITY_NAMES)))  # mr_gan.py:248
+PAIR_MODALITIES = (2, 5)                      # F+T, F+T+C (mr_gan.py:267)
+T5_FT_MODALITIES = (0, 1, 2)                  # mr_gan.py:289
+
+
+def build_parser(description):
+    parser = argparse.ArgumentParser(description=description)
+    parser.add_argument("-t", "--tables", nargs="+", required=True,
+                        help="[Required] Tables to recompute")
+    parser.add_argument("-v", "--verbose", action="store_true", help="Verbose")
+    parser.add_argument("--data-dir", default="data_processed",
+                        help="Processed MREO pickle directory")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Force the synthetic MREO dataset")
+    parser.add_argument("--synthetic-pokes", type=int, default=100,
+                        help="Synthetic pokes per object (default: the real "
+                             "dataset's 100)")
+    parser.add_argument("--seed", type=int, default=None,
+                        help="Deterministic protocol seed (default: de-seeded "
+                             "like the reference, mr_gan.py:75)")
+    parser.add_argument("--epochs", type=int, default=100)
+    parser.add_argument("--checkpoint", default=None,
+                        help="JSONL sweep checkpoint; completed cells skip")
+    parser.add_argument("--metrics", default=None, help="JSONL metric stream")
+    parser.add_argument("--no-mesh", action="store_true",
+                        help="Disable multi-device sharding")
+    return parser
+
+
+class Ctx:
+    """Shared driver context: dataset access, checkpoint, metrics, mesh."""
+
+    def __init__(self, args, model_name):
+        self.args = args
+        self.model = model_name
+        self.ckpt = ckpt_lib.SweepCheckpoint(args.checkpoint)
+        self.ms = M.MetricStream(args.metrics)
+        self.seed = (np.random.randint(2**31 - 1)
+                     if args.seed is None else args.seed)
+        self.mesh = None
+        if not args.no_mesh:
+            import jax
+
+            if len(jax.devices()) > 1:
+                from ..parallel import mesh as mesh_lib
+
+                self.mesh = mesh_lib.make_mesh()
+
+    def dataset(self, **kw):
+        return mreo.load_features(
+            data_dir=self.args.data_dir,
+            synthetic_seed=self.seed if self.args.synthetic else None,
+            verbose=self.args.verbose,
+            synthetic_kwargs={
+                "pokes_per_object": self.args.synthetic_pokes
+            },
+            **kw,
+        )
+
+    def cell(self, fn, **key):
+        """Checkpoint-gated cell execution. fn() -> list of errors."""
+        cached = self.ckpt.get(model=self.model, **key)
+        if cached is not None:
+            return np.asarray(cached)
+        errors = [float(e) for e in fn()]
+        self.ms.emit("cell", model=self.model, **key, errors=errors)
+        self.ckpt.record(errors, model=self.model, **key)
+        return np.asarray(errors)
+
+
+# ---------------------------------------------------------------------------
+# GAN tables (mr_gan.py)
+# ---------------------------------------------------------------------------
+
+def gan_table1(ctx):
+    cfg = gan.GanConfig(epochs=ctx.args.epochs)
+    M.header("Testing various amounts of labeled training data")
+    for modality in T1_MODALITIES:
+        M.modality_header(MODALITY_NAMES[modality])
+        x, y = ctx.dataset(modalities=modality)
+        for percent in PERCENTS_KFOLD:
+            M.subheader("Percentage of training data labeled: %d%%" % percent)
+            errors = ctx.cell(
+                lambda: protocol.run_gan_cell(
+                    x, y, percent, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
+                    verbose=ctx.args.verbose,
+                ),
+                table=1, modality=modality, percent=percent,
+            )
+            for e in errors:
+                M.fold_result(e)
+            M.cell_average(errors)
+
+
+def gan_table3(ctx):
+    cfg = gan.GanConfig(epochs=ctx.args.epochs)
+    M.header("Testing generalization with leave-one-object-out validation")
+    for modality in PAIR_MODALITIES:
+        M.modality_header(MODALITY_NAMES[modality])
+        objects = ctx.dataset(modalities=modality, leave_object_out=True)
+        for percent in PERCENTS_LOO:
+            M.subheader("Percentage of training data labeled: %d%%" % percent)
+
+            def run():
+                names, errs = protocol.run_gan_loo(
+                    objects, percent, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
+                    on_result=lambda n, e: M.fold_result(e, prefix=n),
+                )
+                return errs
+
+            errors = ctx.cell(run, table=3, modality=modality, percent=percent)
+            M.cell_average(errors, loo=True)
+
+
+def gan_table5(ctx):
+    cfg = gan.GanConfig(epochs=ctx.args.epochs)
+    M.header("Testing various lengths of contact time in training data")
+    for modality in T5_FT_MODALITIES:
+        M.modality_header(MODALITY_NAMES[modality])
+        for ft_time in FT_TIMES:
+            M.subheader("Length of training data: %.1fs" % ft_time)
+            x, y = ctx.dataset(modalities=modality, forcetemp_time=ft_time)
+            errors = ctx.cell(
+                lambda: protocol.run_gan_cell(
+                    x, y, 100, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
+                ),
+                table=5, modality=modality, ft_time=ft_time,
+            )
+            for e in errors:
+                M.fold_result(e)
+            M.cell_average(errors)
+
+    M.header("Testing various lengths of contact time in training data")
+    M.modality_header(MODALITY_NAMES[3])
+    for c_time in C_TIMES:
+        M.subheader("Length of training data: %.1fs" % c_time)
+        x, y = ctx.dataset(modalities=3, contactmic_time=c_time)
+        errors = ctx.cell(
+            lambda: protocol.run_gan_cell(
+                x, y, 100, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
+            ),
+            table=5, modality=3, c_time=c_time,
+        )
+        for e in errors:
+            M.fold_result(e)
+        M.cell_average(errors)
+
+
+def gan_table6(ctx):
+    cfg = gan.GanConfig(epochs=ctx.args.epochs)
+    M.header("Testing performance as quantity of unlabeled data increases")
+    for modality in PAIR_MODALITIES:
+        M.modality_header(MODALITY_NAMES[modality])
+        x, y = ctx.dataset(modalities=modality)
+        for percentlabeled in [4]:
+            M.subheader(
+                "Percentage of training data labeled: %d%%" % percentlabeled
+            )
+            for percentunlabeled in UNLABELED_GRID:
+                M.subheader(
+                    "Percentage of training data unlabeled: %d%%"
+                    % percentunlabeled
+                )
+                errors = ctx.cell(
+                    lambda: protocol.run_gan_cell(
+                        x, y, percentlabeled, percentunlabeled, cfg=cfg,
+                        seed=ctx.seed, mesh=ctx.mesh,
+                    ),
+                    table=6, modality=modality, percent=percentlabeled,
+                    percent_unlabeled=percentunlabeled,
+                )
+                for e in errors:
+                    M.fold_result(e)
+                M.cell_average(errors)
+
+
+def gan_main(argv=None):
+    parser = build_parser(
+        "Semi-supervised learning with GANs for material recognition on "
+        "haptic data."
+    )
+    args = parser.parse_args(argv)
+    ctx = Ctx(args, "gan")
+    if "1" in args.tables:
+        gan_table1(ctx)
+    if "3" in args.tables:
+        gan_table3(ctx)
+    if "5" in args.tables:
+        gan_table5(ctx)
+    if "6" in args.tables:
+        gan_table6(ctx)
+    ctx.ms.close()
+
+
+# ---------------------------------------------------------------------------
+# MLP tables (mr_nn.py) and SVM tables (mr_svm.py)
+# ---------------------------------------------------------------------------
+
+def _baseline_table2(ctx, run_cell):
+    M.header("Testing various amounts of labeled training data")
+    for modality in PAIR_MODALITIES:
+        M.modality_header(MODALITY_NAMES[modality])
+        x, y = ctx.dataset(modalities=modality)
+        for percent in PERCENTS_KFOLD:
+            M.subheader("Percentage of training data labeled: %d%%" % percent)
+            errors = ctx.cell(
+                lambda: run_cell(x, y, percent),
+                table=2, modality=modality, percent=percent,
+            )
+            # (reference comments out the per-fold prints here, mr_nn.py:144)
+            M.cell_average(errors)
+
+
+def _baseline_table4(ctx, run_loo):
+    M.header("Testing generalization with leave-one-object-out validation")
+    for modality in PAIR_MODALITIES:
+        M.modality_header(MODALITY_NAMES[modality])
+        objects = ctx.dataset(modalities=modality, leave_object_out=True)
+        for percent in PERCENTS_LOO:
+            M.subheader("Percentage of training data labeled: %d%%" % percent)
+
+            def run():
+                names, errs = run_loo(objects, percent)
+                for n, e in zip(names, errs):
+                    M.fold_result(e, prefix=n)
+                return errs
+
+            errors = ctx.cell(run, table=4, modality=modality, percent=percent)
+            M.cell_average(errors, loo=True)
+
+
+def nn_main(argv=None):
+    parser = build_parser("Supervised MLP baseline for material recognition.")
+    args = parser.parse_args(argv)
+    ctx = Ctx(args, "nn")
+    cfg = mlp.MlpConfig(epochs=args.epochs)
+
+    def run_cell(x, y, percent):
+        return mlp.run_mlp_cell(x, y, percent, cfg=cfg, seed=ctx.seed)
+
+    def run_loo(objects, percent):
+        return mlp.run_mlp_loo(objects, percent, cfg=cfg, seed=ctx.seed,
+                               mesh=ctx.mesh)
+
+    if "2" in args.tables:
+        _baseline_table2(ctx, run_cell)
+    if "4" in args.tables:
+        _baseline_table4(ctx, run_loo)
+    ctx.ms.close()
+
+
+def svm_main(argv=None):
+    parser = build_parser("RBF-SVM baseline for material recognition.")
+    parser.add_argument("--deriv", action="store_true",
+                        help="First-derivative features (mr_svm.py:41-44)")
+    args = parser.parse_args(argv)
+    ctx = Ctx(args, "svm")
+    cfg = svm.SvmConfig()
+
+    orig_dataset = ctx.dataset
+
+    def dataset(**kw):
+        return orig_dataset(deriv=args.deriv, **kw)
+
+    ctx.dataset = dataset
+
+    def run_cell(x, y, percent):
+        return svm.run_svm_cell(x, y, percent, cfg=cfg, seed=ctx.seed)
+
+    def run_loo(objects, percent):
+        return svm.run_svm_loo(objects, percent, cfg=cfg, seed=ctx.seed)
+
+    if "2" in args.tables:
+        _baseline_table2(ctx, run_cell)
+    if "4" in args.tables:
+        _baseline_table4(ctx, run_loo)
+    ctx.ms.close()

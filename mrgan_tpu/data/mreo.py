@@ -59,12 +59,14 @@ def _material_batches(obj_data):
 def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
                   leave_object_out=False, data_dir="data_processed",
                   synthetic_seed=None, verbose=False, deriv=False,
-                  batch_size=512):
+                  batch_size=512, synthetic_kwargs=None):
     """dataset() equivalent. If the processed pickles are missing (or
     ``synthetic_seed`` is given), a synthetic MREO set is generated instead.
 
     ``deriv``: mr_svm.py's first-derivative option (mr_svm.py:41-44), applied
     to force/temperature traces only.
+    ``synthetic_kwargs``: extra args for synthetic.generate_processed (e.g.
+    pokes_per_object for small test datasets).
     """
     use_synth = synthetic_seed is not None or not have_processed(
         data_dir, forcetemp_time, contactmic_time
@@ -74,6 +76,7 @@ def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
             seed=0 if synthetic_seed is None else synthetic_seed,
             forcetemp_time=forcetemp_time,
             contactmic_time=contactmic_time,
+            **(synthetic_kwargs or {}),
         )
 
     objects = {}

@@ -36,7 +36,7 @@ def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
     bs = xl.shape[0]  # local shard size
     if axis_name is not None:
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
-    k_z1, k_z2, k_d1, k_d2, k_d3, k_g1, k_g2 = jax.random.split(key, 7)
+    k_z1, k_z2, k_d, k_g = jax.random.split(key, 4)
 
     adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1)
 
@@ -47,9 +47,9 @@ def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
     x_fake = nets.generator_apply(pg, z1, out_mask=mask, axis_name=axis_name)
 
     def d_loss(pd_):
-        logits_lab, _ = disc_fwd(pd_, xl, k_d1)
-        logits_unl, _ = disc_fwd(pd_, xu, k_d2)
-        logits_fake, _ = disc_fwd(pd_, x_fake, k_d3)
+        # Fused 3-batch forward (see train.gan.batch_step docstring).
+        logits, _ = disc_fwd(pd_, jnp.concatenate([xl, xu, x_fake]), k_d)
+        logits_lab, logits_unl, logits_fake = jnp.split(logits, 3)
         ll = losses.loss_labeled(logits_lab, yl)
         lu = losses.loss_unlabeled(logits_unl, logits_fake)
         terr = losses.error_rate(logits_lab, yl)
@@ -64,8 +64,8 @@ def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
 
     def g_loss(pg_):
         xf = nets.generator_apply(pg_, z2, out_mask=mask, axis_name=axis_name)
-        _, mid_fake = disc_fwd(pd, xf, k_g1)
-        _, mid_real = disc_fwd(pd, xu2, k_g2)
+        _, mid = disc_fwd(pd, jnp.concatenate([xf, xu2]), k_g)
+        mid_fake, mid_real = jnp.split(mid, 2)
         return losses.loss_feature_matching(mid_fake, mid_real,
                                             axis_name=axis_name)
 

@@ -94,18 +94,25 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         return nets.discriminator_apply(pd, x, k, train=True, in_mask=mask)
 
     def batch_step(carry, inputs):
+        """One fused disc+gen update (mr_gan.py:204-213 semantics).
+
+        The reference forwards the discriminator on labeled / unlabeled /
+        fake batches separately; since its GaussianNoise draws are iid per
+        element, the three passes are fused into ONE concatenated forward
+        (3*bs rows) — identical in distribution, 3x fewer RNG draws, and a
+        3x-taller M for the MXU. Same for the two generator-loss passes.
+        """
         pg, pd, od, og = carry
         xl, yl, xu, xu2, k = inputs
-        k_z1, k_z2, k_d1, k_d2, k_d3, k_g1, k_g2 = jax.random.split(k, 7)
+        k_z1, k_z2, k_d, k_g = jax.random.split(k, 4)
 
         # --- discriminator update (mr_gan.py:166,169; train_batch_disc) ---
         z1 = jax.random.normal(k_z1, (bs, cfg.noise_size))
         x_fake = nets.generator_apply(pg, z1, out_mask=mask)
 
         def d_loss(pd_):
-            logits_lab, _ = disc_fwd(pd_, xl, k_d1)
-            logits_unl, _ = disc_fwd(pd_, xu, k_d2)
-            logits_fake, _ = disc_fwd(pd_, x_fake, k_d3)
+            logits, _ = disc_fwd(pd_, jnp.concatenate([xl, xu, x_fake]), k_d)
+            logits_lab, logits_unl, logits_fake = jnp.split(logits, 3)
             ll = losses.loss_labeled(logits_lab, yl)
             lu = losses.loss_unlabeled(logits_unl, logits_fake)
             terr = losses.error_rate(logits_lab, yl)
@@ -119,8 +126,8 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
         def g_loss(pg_):
             xf = nets.generator_apply(pg_, z2, out_mask=mask)
-            _, mid_fake = disc_fwd(pd, xf, k_g1)
-            _, mid_real = disc_fwd(pd, xu2, k_g2)
+            _, mid = disc_fwd(pd, jnp.concatenate([xf, xu2]), k_g)
+            mid_fake, mid_real = jnp.split(mid, 2)
             return losses.loss_feature_matching(mid_fake, mid_real)
 
         g_grads = jax.grad(g_loss)(pg)

@@ -84,6 +84,46 @@ def train_folds(keys, x_lab, y_lab, x_test, y_test, valid_dim=None,
     return _compiled(int(valid_dim), cfg)(keys, x_lab, y_lab, x_test, y_test)
 
 
+def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
+                mesh=None, chunk=24):
+    """Leave-one-object-out MLP protocol (mr_nn.py:148-168): the 72 splits
+    share static shapes, so they stack on a work axis and train fused (and
+    mesh-sharded when a multi-device mesh is given), in chunks."""
+    from . import protocol
+
+    rng = np.random.RandomState(seed)
+    names = list(objects.keys())
+    errors = []
+    for s in range(0, len(names), chunk):
+        block = names[s : s + chunk]
+        folds = [
+            protocol.prepare_fold(*protocol._loo_split(objects, n),
+                                  percentlabeled, None, cfg.num_classes, rng)
+            for n in block
+        ]
+        n_real = len(folds)
+        while len(folds) < min(chunk, len(names)):
+            folds.append(folds[0])
+        stacked = protocol.stack_folds(folds)
+        valid_dim = stacked["x_labeled"].shape[-1]
+        for k in ("x_labeled", "x_test"):
+            stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
+        keys = jax.random.split(
+            jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds)
+        )
+        args = (keys, stacked["x_labeled"], stacked["y_labeled"],
+                stacked["x_test"], stacked["y_test"])
+        if mesh is not None and mesh.shape.get("cell", 1) > 1:
+            from ..parallel import sweep
+
+            errs = sweep.train_mlp_work(*args, valid_dim=valid_dim, cfg=cfg,
+                                        mesh=mesh)
+        else:
+            errs = train_folds(*args, valid_dim=valid_dim, cfg=cfg)
+        errors.extend(float(e) for e in np.asarray(errs)[:n_real])
+    return names, np.asarray(errors)
+
+
 def run_mlp_cell(x, y, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
                  n_splits=6, splits=None):
     """mr_nn.py table cell: k folds fused; returns per-fold test errors."""

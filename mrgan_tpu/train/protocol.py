@@ -96,11 +96,12 @@ def loo_splits(objects):
 
 def run_gan_cell(x, y, percentlabeled, percentunlabeled=None,
                  cfg: gan.GanConfig = gan.GanConfig(), seed=0, n_splits=6,
-                 splits=None, verbose=False):
+                 splits=None, verbose=False, mesh=None):
     """One sweep cell: k folds trained fused; returns per-fold test errors.
 
     ``splits``: optional explicit (train_idx, test_idx) pairs or prepared-fold
     list, else stratified ``n_splits``-fold on (x, y).
+    ``mesh``: optional ("cell","data") mesh — folds shard across its cell axis.
     """
     rng = np.random.RandomState(seed)
     if splits is None:
@@ -113,11 +114,12 @@ def run_gan_cell(x, y, percentlabeled, percentunlabeled=None,
                 cfg.num_classes, rng,
             )
         )
-    return run_prepared_folds(folds, cfg, rng)
+    return run_prepared_folds(folds, cfg, rng, mesh=mesh)
 
 
-def run_prepared_folds(folds, cfg, rng):
-    """Pad, stack and train a list of prepared folds as one fused program."""
+def run_prepared_folds(folds, cfg, rng, mesh=None):
+    """Pad, stack and train a list of prepared folds as one fused program,
+    sharded over the mesh's cell axis when a multi-device mesh is given."""
     import jax
 
     stacked = stack_folds(folds)
@@ -127,10 +129,68 @@ def run_prepared_folds(folds, cfg, rng):
     keys = jax.random.split(
         jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds)
     )
-    errors, _aux = gan.train_folds(
+    args = (
         keys,
         stacked["x_labeled"], stacked["y_labeled"], stacked["pool"],
         stacked["x_test"], stacked["y_test"], stacked["n_train"],
-        valid_dim=valid_dim, cfg=cfg,
     )
+    if mesh is not None and mesh.shape.get("cell", 1) > 1:
+        from ..parallel import sweep
+
+        return sweep.train_gan_work(*args, valid_dim=valid_dim, cfg=cfg,
+                                    mesh=mesh)
+    errors, _aux = gan.train_folds(*args, valid_dim=valid_dim, cfg=cfg)
     return np.asarray(errors)
+
+
+def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
+                seed=0, mesh=None, chunk=None, on_result=None):
+    """Leave-one-object-out protocol (mr_gan.py:263-283), fused + sharded.
+
+    The reference trains the 72 LOO splits serially; every split has identical
+    static shapes (train 7100 / test 100 / same labeled counts), so they stack
+    on a work axis and run fused across the mesh, in HBM-sized chunks.
+
+    Returns (names, errors) in dict order; ``on_result(name, err)`` fires per
+    object as each chunk completes.
+    """
+    rng = np.random.RandomState(seed)
+    names = list(objects.keys())
+    if chunk is None:
+        n_dev = mesh.shape["cell"] if mesh is not None else 1
+        # ~12 work items per device keeps the 7100x3712 pools inside HBM
+        chunk = min(len(names), 12 * n_dev)
+    errors = []
+    for s in range(0, len(names), chunk):
+        block = names[s : s + chunk]
+        folds = []
+        for name, x_tr, y_tr, x_te, y_te in (
+            (n2, *split) for n2, split in
+            ((n3, _loo_split(objects, n3)) for n3 in block)
+        ):
+            folds.append(
+                prepare_fold(x_tr, y_tr, x_te, y_te, percentlabeled,
+                             None, cfg.num_classes, rng)
+            )
+        # pad the final short chunk to the compiled work-axis width
+        n_real = len(folds)
+        while len(folds) < min(chunk, len(names)):
+            folds.append(folds[0])
+        errs = run_prepared_folds(folds, cfg, rng, mesh=mesh)[:n_real]
+        for name, e in zip(block, errs):
+            errors.append(float(e))
+            if on_result is not None:
+                on_result(name, float(e))
+    return names, np.asarray(errors)
+
+
+def _loo_split(objects, held_out):
+    x_test = np.asarray(objects[held_out]["x"])
+    y_test = np.asarray(objects[held_out]["y"])
+    x_train = np.concatenate(
+        [np.asarray(objects[n]["x"]) for n in objects if n != held_out], 0
+    )
+    y_train = np.concatenate(
+        [np.asarray(objects[n]["y"]) for n in objects if n != held_out], 0
+    )
+    return x_train, y_train, x_test, y_test

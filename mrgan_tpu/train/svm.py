@@ -47,6 +47,25 @@ def fit_predict_error(x_lab, y_lab, x_test, y_test, cfg: SvmConfig = SvmConfig()
     return 1.0 - svm.score(k_test, y_test)
 
 
+def run_svm_loo(objects, percentlabeled, cfg: SvmConfig = SvmConfig(), seed=0):
+    """Leave-one-object-out SVM protocol (mr_svm.py:145-165): device Gram
+    matrices per split (the O(n^2 d) part), libsvm dual solve on host."""
+    from . import protocol
+
+    rng = np.random.RandomState(seed)
+    names = list(objects.keys())
+    errors = []
+    for name in names:
+        fold = protocol.prepare_fold(*protocol._loo_split(objects, name),
+                                     percentlabeled, None, cfg.num_classes,
+                                     rng)
+        errors.append(
+            fit_predict_error(fold["x_labeled"], fold["y_labeled"],
+                              fold["x_test"], fold["y_test"], cfg)
+        )
+    return names, np.asarray(errors)
+
+
 def run_svm_cell(x, y, percentlabeled, cfg: SvmConfig = SvmConfig(), seed=0,
                  n_splits=6, splits=None):
     """mr_svm.py table cell; device Gram matrices batched across folds."""
