@@ -98,12 +98,13 @@ def gan_table1(ctx):
     for modality in T1_MODALITIES:
         M.modality_header(MODALITY_NAMES[modality])
         x, y = ctx.dataset(modalities=modality)
+        ds = protocol.DeviceDataset(x, y, cfg.pad_multiple, mesh=ctx.mesh)
         for percent in PERCENTS_KFOLD:
             M.subheader("Percentage of training data labeled: %d%%" % percent)
             errors = ctx.cell(
                 lambda: protocol.run_gan_cell(
-                    x, y, percent, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
-                    verbose=ctx.args.verbose,
+                    ds, percentlabeled=percent, cfg=cfg, seed=ctx.seed,
+                    mesh=ctx.mesh, verbose=ctx.args.verbose,
                 ),
                 table=1, modality=modality, percent=percent,
             )
@@ -172,6 +173,7 @@ def gan_table6(ctx):
     for modality in PAIR_MODALITIES:
         M.modality_header(MODALITY_NAMES[modality])
         x, y = ctx.dataset(modalities=modality)
+        ds = protocol.DeviceDataset(x, y, cfg.pad_multiple, mesh=ctx.mesh)
         for percentlabeled in [4]:
             M.subheader(
                 "Percentage of training data labeled: %d%%" % percentlabeled
@@ -183,7 +185,8 @@ def gan_table6(ctx):
                 )
                 errors = ctx.cell(
                     lambda: protocol.run_gan_cell(
-                        x, y, percentlabeled, percentunlabeled, cfg=cfg,
+                        ds, percentlabeled=percentlabeled,
+                        percentunlabeled=percentunlabeled, cfg=cfg,
                         seed=ctx.seed, mesh=ctx.mesh,
                     ),
                     table=6, modality=modality, percent=percentlabeled,

@@ -70,6 +70,46 @@ def train_gan_work(keys, x_labeled, y_labeled, pool, x_test, y_test, n_train,
 
 
 @lru_cache(maxsize=64)
+def _sharded_indexed_gan_trainer(shapes, valid_dim, cfg, mesh):
+    """Indexed variant: X/y replicated across the mesh (one upload), index
+    vectors sharded over the cell axis — per-cell traffic is a few KB."""
+    sh = mesh_lib.cell_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def one(key, X, y, lab_idx, pool_idx, train_idx, test_idx):
+        err, _ = gan._train_one_indexed(
+            key, X, y, lab_idx, pool_idx, train_idx, test_idx,
+            valid_dim=valid_dim, cfg=cfg,
+        )
+        return err
+
+    return jax.jit(
+        jax.vmap(one, in_axes=(0, None, None, 0, 0, 0, 0)),
+        in_shardings=(sh, rep, rep, sh, sh, sh, sh),
+        out_shardings=sh,
+    )
+
+
+def train_gan_work_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
+                           valid_dim=None,
+                           cfg: gan.GanConfig = gan.GanConfig(), mesh=None):
+    """W independent GAN work items against device-resident X, mesh-sharded."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if valid_dim is None:
+        valid_dim = X.shape[-1]
+    w = keys.shape[0]
+    w_pad = mesh_lib.pad_to_multiple(w, mesh.shape["cell"])
+    idx_args = _pad_work_axis([keys, lab_idx, pool_idx, train_idx, test_idx],
+                              w_pad)
+    shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
+              test_idx.shape[-1])
+    fn = _sharded_indexed_gan_trainer(shapes, int(valid_dim), cfg, mesh)
+    errs = fn(idx_args[0], X, y, *idx_args[1:])
+    return np.asarray(errs)[:w]
+
+
+@lru_cache(maxsize=64)
 def _sharded_mlp_trainer(valid_dim, cfg, mesh):
     sh = mesh_lib.cell_sharding(mesh)
 

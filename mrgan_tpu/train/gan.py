@@ -165,6 +165,73 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
     return test_error, {"params": {"gen": pg, "disc": pd}, **out_metrics}
 
 
+def scale_stats(x_train):
+    """StandardScaler fit as pure ops: population mean/std, zero-variance
+    columns pass through (sklearn semantics, mr_gan.py:96-98)."""
+    mean = jnp.mean(x_train, axis=0)
+    var = jnp.mean(jnp.square(x_train - mean), axis=0)
+    std = jnp.sqrt(var)
+    inv = jnp.where(std == 0.0, 1.0, 1.0 / jnp.maximum(std, 1e-30))
+    return mean, inv
+
+
+def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,
+                       *, valid_dim, cfg: GanConfig):
+    """Device-side fold prep + training: the whole cell reads only the
+    HBM-resident dataset X plus tiny index vectors.
+
+    The reference re-runs StandardScaler + labeled selection on host numpy
+    for every one of its hundreds of sweep cells (mr_gan.py:96-103), shipping
+    the full fold arrays to the device each time. Here X is uploaded once per
+    modality; scaling stats, gathers and selection happen on device inside
+    the jitted program, so a sweep cell costs a few KB of host->device
+    traffic instead of ~1 GB.
+    """
+    x_train = X[train_idx]
+    mean, inv = scale_stats(x_train)
+
+    def scale(a):
+        return (a - mean) * inv
+
+    return _train_one(
+        key,
+        scale(X[lab_idx]), y[lab_idx],
+        scale(X[pool_idx]),
+        scale(X[test_idx]), y[test_idx],
+        n_train=train_idx.shape[0], valid_dim=valid_dim, cfg=cfg,
+    )
+
+
+@lru_cache(maxsize=64)
+def _compiled_indexed_trainer(shapes, valid_dim, cfg):
+    """jit(vmap(train_one_indexed)); X and y broadcast across the fold axis."""
+
+    def one(key, X, y, lab_idx, pool_idx, train_idx, test_idx):
+        err, _ = _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx,
+                                    test_idx, valid_dim=valid_dim, cfg=cfg)
+        return err
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None, None, 0, 0, 0, 0)))
+
+
+def train_folds_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
+                        valid_dim=None, cfg: GanConfig = GanConfig()):
+    """Train F folds against a device-resident dataset.
+
+    Args:
+      X: (N, D) padded feature matrix (device-resident; uploaded once).
+      y: (N,) int32 labels.
+      lab_idx/pool_idx/train_idx/test_idx: (F, *) int32 row indices into X.
+    Returns (F,) test errors.
+    """
+    if valid_dim is None:
+        valid_dim = X.shape[-1]
+    shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
+              test_idx.shape[-1])
+    fn = _compiled_indexed_trainer(shapes, int(valid_dim), cfg)
+    return fn(keys, X, y, lab_idx, pool_idx, train_idx, test_idx)
+
+
 @lru_cache(maxsize=64)
 def _compiled_fold_trainer(n_train, valid_dim, cfg, with_params):
     """jit(vmap(train_one)) specialised to a cell's static shapes."""

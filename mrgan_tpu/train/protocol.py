@@ -17,6 +17,61 @@ from sklearn.model_selection import StratifiedKFold
 from . import gan
 
 
+class DeviceDataset:
+    """HBM-resident feature matrix reused across all sweep cells.
+
+    Uploading X once per modality and building folds on device (index
+    gathers + on-device scaling, gan._train_one_indexed) cuts per-cell
+    host->device traffic from ~1 GB of stacked folds to a few KB of indices —
+    the north star's "stream HBM-resident batches".
+    """
+
+    def __init__(self, x, y, pad_multiple=128, mesh=None):
+        import jax
+
+        xp, self.valid_dim = gan.pad_features(
+            np.asarray(x, np.float32), pad_multiple
+        )
+        self.y_host = np.asarray(y, np.int32)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            rep = NamedSharding(mesh, P())
+            self.X = jax.device_put(xp, rep)
+            self.y = jax.device_put(self.y_host, rep)
+        else:
+            self.X = jax.device_put(xp)
+            self.y = jax.device_put(self.y_host)
+        self.mesh = mesh
+
+    def __len__(self):
+        return len(self.y_host)
+
+
+def fold_indices(y, train_idx, test_idx, percentlabeled, percentunlabeled,
+                 num_classes, rng):
+    """Index-space replication of the reference's fold prep (mr_gan.py:100-107):
+    shuffle the train rows, take the first 10*percent per class as labeled
+    (and first 10*(percent+percentunlabeled) as the unlabeled pool)."""
+    train_idx = np.asarray(train_idx)
+    perm = rng.permutation(len(train_idx))
+    shuffled = train_idx[perm]
+    ys = y[shuffled]
+    n_lab = int(10 * percentlabeled)
+    lab = np.concatenate(
+        [shuffled[ys == j][:n_lab] for j in range(num_classes)]
+    )
+    if percentunlabeled is not None:
+        n_pool = n_lab + int(10 * percentunlabeled)
+        pool = np.concatenate(
+            [shuffled[ys == j][:n_pool] for j in range(num_classes)]
+        )
+    else:
+        pool = shuffled
+    return (lab.astype(np.int32), pool.astype(np.int32),
+            train_idx.astype(np.int32), np.asarray(test_idx, np.int32))
+
+
 def select_labeled(x_train, y_train, num_per_class, num_classes, rng):
     """mr_gan.py:101-103: shuffle, then first-n-per-class."""
     perm = rng.permutation(len(x_train))
@@ -94,27 +149,48 @@ def loo_splits(objects):
         yield name, x_train, y_train, x_test, y_test
 
 
-def run_gan_cell(x, y, percentlabeled, percentunlabeled=None,
+def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
                  cfg: gan.GanConfig = gan.GanConfig(), seed=0, n_splits=6,
                  splits=None, verbose=False, mesh=None):
     """One sweep cell: k folds trained fused; returns per-fold test errors.
 
-    ``splits``: optional explicit (train_idx, test_idx) pairs or prepared-fold
-    list, else stratified ``n_splits``-fold on (x, y).
+    ``x``: feature matrix, or a DeviceDataset (preferred — folds are then
+    built on device from index vectors with zero bulk re-upload).
+    ``splits``: optional explicit (train_idx, test_idx) pairs, else
+    stratified ``n_splits``-fold.
     ``mesh``: optional ("cell","data") mesh — folds shard across its cell axis.
     """
     rng = np.random.RandomState(seed)
+    ds = x if isinstance(x, DeviceDataset) else DeviceDataset(
+        x, y, cfg.pad_multiple, mesh=mesh
+    )
     if splits is None:
-        splits = stratified_splits(y, n_splits=n_splits, seed=seed)
-    folds = []
-    for tr, te in splits:
-        folds.append(
-            prepare_fold(
-                x[tr], y[tr], x[te], y[te], percentlabeled, percentunlabeled,
-                cfg.num_classes, rng,
-            )
+        splits = stratified_splits(ds.y_host, n_splits=n_splits, seed=seed)
+    idx = [
+        fold_indices(ds.y_host, tr, te, percentlabeled, percentunlabeled,
+                     cfg.num_classes, rng)
+        for tr, te in splits
+    ]
+    return run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)
+
+
+def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
+    """Stack per-fold index tuples and train fused against ds.X."""
+    import jax
+
+    lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
+    keys = jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)),
+                            len(idx))
+    if mesh is not None and mesh.shape.get("cell", 1) > 1:
+        from ..parallel import sweep
+
+        return sweep.train_gan_work_indexed(
+            keys, ds.X, ds.y, lab, pool, train, test,
+            valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh,
         )
-    return run_prepared_folds(folds, cfg, rng, mesh=mesh)
+    errs = gan.train_folds_indexed(keys, ds.X, ds.y, lab, pool, train, test,
+                                   valid_dim=ds.valid_dim, cfg=cfg)
+    return np.asarray(errs)
 
 
 def run_prepared_folds(folds, cfg, rng, mesh=None):
@@ -143,48 +219,8 @@ def run_prepared_folds(folds, cfg, rng, mesh=None):
     return np.asarray(errors)
 
 
-def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
-                seed=0, mesh=None, chunk=None, on_result=None):
-    """Leave-one-object-out protocol (mr_gan.py:263-283), fused + sharded.
-
-    The reference trains the 72 LOO splits serially; every split has identical
-    static shapes (train 7100 / test 100 / same labeled counts), so they stack
-    on a work axis and run fused across the mesh, in HBM-sized chunks.
-
-    Returns (names, errors) in dict order; ``on_result(name, err)`` fires per
-    object as each chunk completes.
-    """
-    rng = np.random.RandomState(seed)
-    names = list(objects.keys())
-    if chunk is None:
-        n_dev = mesh.shape["cell"] if mesh is not None else 1
-        # ~12 work items per device keeps the 7100x3712 pools inside HBM
-        chunk = min(len(names), 12 * n_dev)
-    errors = []
-    for s in range(0, len(names), chunk):
-        block = names[s : s + chunk]
-        folds = []
-        for name, x_tr, y_tr, x_te, y_te in (
-            (n2, *split) for n2, split in
-            ((n3, _loo_split(objects, n3)) for n3 in block)
-        ):
-            folds.append(
-                prepare_fold(x_tr, y_tr, x_te, y_te, percentlabeled,
-                             None, cfg.num_classes, rng)
-            )
-        # pad the final short chunk to the compiled work-axis width
-        n_real = len(folds)
-        while len(folds) < min(chunk, len(names)):
-            folds.append(folds[0])
-        errs = run_prepared_folds(folds, cfg, rng, mesh=mesh)[:n_real]
-        for name, e in zip(block, errs):
-            errors.append(float(e))
-            if on_result is not None:
-                on_result(name, float(e))
-    return names, np.asarray(errors)
-
-
 def _loo_split(objects, held_out):
+    """Host-side LOO split (used by the MLP/SVM baselines)."""
     x_test = np.asarray(objects[held_out]["x"])
     y_test = np.asarray(objects[held_out]["y"])
     x_train = np.concatenate(
@@ -194,3 +230,53 @@ def _loo_split(objects, held_out):
         [np.asarray(objects[n]["y"]) for n in objects if n != held_out], 0
     )
     return x_train, y_train, x_test, y_test
+
+
+def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
+                seed=0, mesh=None, chunk=None, on_result=None):
+    """Leave-one-object-out protocol (mr_gan.py:263-283), fused + sharded.
+
+    The reference trains the 72 LOO splits serially, rebuilding ~200 MB train
+    arrays on host per split; every split has identical static shapes
+    (train 7100 / test 100 / same labeled counts), so here they stack on a
+    work axis, gather from the ONE device-resident copy of X, and run fused
+    across the mesh in HBM-sized chunks.
+
+    Returns (names, errors) in dict order; ``on_result(name, err)`` fires per
+    object as each chunk completes.
+    """
+    rng = np.random.RandomState(seed)
+    names = list(objects.keys())
+    x_all = np.concatenate([np.asarray(objects[n]["x"]) for n in names], 0)
+    y_all = np.concatenate([np.asarray(objects[n]["y"]) for n in names], 0)
+    sizes = [len(objects[n]["y"]) for n in names]
+    offs = np.cumsum([0] + sizes)
+    ds = DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh)
+    all_rows = np.arange(len(y_all))
+
+    if chunk is None:
+        n_dev = mesh.shape["cell"] if mesh is not None else 1
+        # ~12 work items per device keeps the 7100-row gathered pools in HBM
+        chunk = min(len(names), 12 * n_dev)
+    errors = []
+    for s in range(0, len(names), chunk):
+        block = list(range(s, min(s + chunk, len(names))))
+        idx = []
+        for i in block:
+            test_idx = all_rows[offs[i] : offs[i + 1]]
+            train_idx = np.concatenate(
+                [all_rows[: offs[i]], all_rows[offs[i + 1] :]]
+            )
+            idx.append(
+                fold_indices(ds.y_host, train_idx, test_idx, percentlabeled,
+                             None, cfg.num_classes, rng)
+            )
+        n_real = len(idx)
+        while len(idx) < min(chunk, len(names)):  # pad short final chunk
+            idx.append(idx[0])
+        errs = run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)[:n_real]
+        for i, e in zip(block, errs):
+            errors.append(float(e))
+            if on_result is not None:
+                on_result(names[i], float(e))
+    return names, np.asarray(errors)
