@@ -1,10 +1,11 @@
 """Benchmark: fused semi-supervised GAN training throughput on one chip.
 
 Measures disc+gen train steps/sec/chip at the reference's flagship shapes
-(modality 5 = force+temp+mic: 6000-example train pool, batch 50, 120 batches
-per epoch, feature dim 3632 -> padded 3712; mr_gan.py:73-234), with the
-reference's own protocol unit — 6 stratified folds — trained fused under
-vmap as one XLA program.
+(modality 5 = force+temp+mic: 7200 examples, 6-fold stratified CV ->
+train 6000 / test 1200, batch 50, 120 batches/epoch, feature dim 3632 ->
+padded 3712; mr_gan.py:73-234) through the production path: HBM-resident
+dataset (one upload), on-device fold prep, 6 folds trained fused under vmap
+as one XLA program.
 
 Baseline: the reference runs Table 1 (294 trainings x 100 epochs x 120
 batches ~= 3.5M disc+gen updates) in "several hours with a GPU"
@@ -27,44 +28,40 @@ BASELINE_STEPS_PER_SEC = 294 * 100 * 120 / (3 * 3600.0)  # ~326.7
 def main():
     import jax
 
-    from mrgan_tpu.train import gan
+    from mrgan_tpu.train import gan, protocol
 
     folds = 6
-    n_train = 6000
-    n_lab = 6000          # 100% labeled: the heaviest cell
-    n_test = 1200
+    n = 7200
     feat_dim = 3632       # modality 5 @ (4 s, 0.2 s): 3*400 + 128*19 mel
-    bench_epochs = 5
-
+    bench_epochs = 20
     cfg = gan.GanConfig(epochs=bench_epochs)
+
     rng = np.random.RandomState(0)
+    x = rng.randn(n, feat_dim).astype(np.float32)
+    y = np.tile(np.arange(6, dtype=np.int32), n // 6)
 
-    def mk(*shape):
-        return rng.randn(*shape).astype(np.float32)
-
-    xl, valid_dim = gan.pad_features(mk(folds, n_lab, feat_dim), cfg.pad_multiple)
-    pool, _ = gan.pad_features(mk(folds, n_train, feat_dim), cfg.pad_multiple)
-    xt, _ = gan.pad_features(mk(folds, n_test, feat_dim), cfg.pad_multiple)
-    yl = rng.randint(0, 6, (folds, n_lab)).astype(np.int32)
-    yt = rng.randint(0, 6, (folds, n_test)).astype(np.int32)
+    ds = protocol.DeviceDataset(x, y, cfg.pad_multiple)
+    jax.block_until_ready(ds.X)
+    prot_rng = np.random.RandomState(1)
+    splits = protocol.stratified_splits(y, n_splits=folds, seed=1)
+    idx = [
+        protocol.fold_indices(ds.y_host, tr, te, 100, None, 6, prot_rng)
+        for tr, te in splits
+    ]
+    lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
     keys = jax.random.split(jax.random.PRNGKey(0), folds)
 
-    # HBM-resident inputs (the north star's "stream HBM-resident batches"):
-    # a sweep loads each modality's features once and reuses them across all
-    # percent/fold cells, so steady-state throughput is measured with data
-    # already on device.
-    xl, yl, pool, xt, yt = jax.device_put((xl, yl, pool, xt, yt))
-    args = (keys, xl, yl, pool, xt, yt, n_train)
+    def run():
+        errs = gan.train_folds_indexed(keys, ds.X, ds.y, lab, pool, train,
+                                       test, valid_dim=ds.valid_dim, cfg=cfg)
+        return np.asarray(errs)
 
-    # Warmup: compile + one full run
-    errs, _ = gan.train_folds(*args, valid_dim=valid_dim, cfg=cfg)
-    np.asarray(errs)
-
+    run()  # compile + warmup
     t0 = time.perf_counter()
-    errs, _ = gan.train_folds(*args, valid_dim=valid_dim, cfg=cfg)
-    np.asarray(errs)
+    run()
     dt = time.perf_counter() - t0
 
+    n_train = train.shape[-1]
     steps = folds * bench_epochs * (n_train // cfg.batch_size)
     value = steps / dt
     print(

@@ -25,6 +25,11 @@ import numpy as np
 
 from .. import MATERIALS
 
+# Raw-stream sample rates (Hz): PR2 fingertip force/pressure, Teensy thermal
+# telemetry (active_thermal_magnum_opus.ino:113-121 emits at 100 Hz), contact
+# mic ADC stream (teensy_contactmic.ino free-running, ~48 kHz class).
+RAW_RATES = {"force": 1000.0, "temperature": 100.0, "contact": 48000.0}
+
 # (temp_drop degC, tau s, stiffness, resonance Hz, audio decay /s, ring amp)
 _MATERIAL_PHYSICS = {
     "plastic": (4.0, 1.2, 0.5, 900.0, 60.0, 0.35),
@@ -40,6 +45,77 @@ SR = 48000
 
 def _object_names(material, n_objects):
     return [f"{material}_obj{k}" for k in range(n_objects)]
+
+
+def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
+                      impact_s=0.8, jitter=True):
+    """Synthesize one raw acquisition pickle with the collectdataPoke.py save
+    schema consumed by processdata.py:41 — per-poke parallel lists:
+    temperatureRaw (T,2), temperatureTime, RGripRFingerForce (T,5 taxels),
+    RGripRFingerPressure, RGripRFingerTime, contactmic (T,), contactmicTime,
+    accelerometer, accelerometerTime, collisionTime (scalar).
+
+    Streams are irregularly sampled (timestamp jitter) so the lerp resampler
+    is exercised on realistic input.
+    """
+    rng = np.random.RandomState(seed)
+    drop, tau, stiff, f_res, decay, amp = _MATERIAL_PHYSICS[material]
+    out = {k: [] for k in (
+        "temperatureRaw", "temperatureTime", "RGripRFingerForce",
+        "RGripRFingerPressure", "RGripRFingerTime", "contactmic",
+        "contactmicTime", "accelerometer", "accelerometerTime",
+        "collisionTime",
+    )}
+
+    def times(rate):
+        n = int(record_s * rate)
+        t = np.arange(n) / rate
+        if jitter:
+            t = t + rng.uniform(0, 0.2 / rate, n)
+        return np.sort(t)
+
+    for _ in range(pokes):
+        impact = impact_s + rng.uniform(-0.05, 0.05)
+
+        t_f = times(RAW_RATES["force"])
+        contact_t = np.maximum(t_f - impact, 0.0)
+        ramp = np.clip(contact_t / 0.05, 0.0, 1.0)
+        peak = 3.0 + 4.0 * stiff
+        base = peak * ramp + 0.05 * rng.randn(len(t_f))
+        force = np.zeros((len(t_f), 5), np.float32)
+        force[:, 3] = base
+        force[:, 4] = 0.8 * base
+        pressure = (force * 20.0 + 5.0).astype(np.float32)
+
+        t_t = times(RAW_RATES["temperature"])
+        cool = drop * (1.0 - np.exp(-np.maximum(t_t - impact, 0.0) / tau))
+        celsius = 55.0 - cool + 0.05 * rng.randn(len(t_t))
+        temp = np.stack(
+            [celsius * 37.0 + 500.0, celsius], axis=1
+        ).astype(np.float32)  # raw ADC-ish channel 0, Celsius channel 1
+
+        t_c = times(RAW_RATES["contact"])
+        tc = t_c - impact
+        burst = (
+            amp * 200.0 * np.exp(-np.maximum(tc, 0.0) * decay)
+            * np.sin(2 * np.pi * f_res * tc) * (tc >= 0.0)
+        )
+        mic = (burst + 2.0 * rng.randn(len(t_c))).astype(np.float32)
+
+        accel_t = times(3000.0)[: int(3000 * record_s)]
+        accel = 0.01 * rng.randn(len(accel_t)).astype(np.float32)
+
+        out["temperatureRaw"].append(temp)
+        out["temperatureTime"].append(t_t)
+        out["RGripRFingerForce"].append(force)
+        out["RGripRFingerPressure"].append(pressure)
+        out["RGripRFingerTime"].append(t_f)
+        out["contactmic"].append(mic)
+        out["contactmicTime"].append(t_c)
+        out["accelerometer"].append(accel)
+        out["accelerometerTime"].append(accel_t)
+        out["collisionTime"].append(impact)
+    return out
 
 
 def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
