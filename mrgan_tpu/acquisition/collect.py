@@ -1,0 +1,291 @@
+"""CollectData orchestrator (datacollection/collectdataPoke.py).
+
+Behavioral mirror of the reference's poke state machine, headless and
+sim-clocked:
+
+- zeroData: publish 'zeroing', wait until force/accel/temperature/contactmic
+  zero-offsets (means of 20 readings) are all established (:191-206);
+- per poke: beginNewDataSequence -> random 1.5-2.5 s gripper motion ->
+  spin until force > 1 N on taxel 3/4 OR temperature-collision message OR
+  7 s timeout (:316,329-342) -> publish 'contact' (the temp publisher holds
+  the heater) -> 4 s dwell -> 'stop' -> wait for both bulk replays
+  (:350-359) -> collisionTime = min(force, temperature) (:362);
+- batch pickle save every saveBatchSize pokes with the reference's filename
+  scheme + --startcount resume (:392-395,425);
+- reheat-to-55 +/- 0.5 C gate between pokes (:233-243).
+"""
+
+import os
+import pickle
+
+import numpy as np
+
+from .bus import BusClient
+from .controller import FORCE_PER_UNIT, TACTILE_AREA
+
+
+class CollectData:
+    def __init__(self, object_name, bus_address, clock, controller,
+                 sequences_per_object=25, start_count=0, save_batch_size=25,
+                 vertical_movement=False, poke_distance=0.1,
+                 data_dir="data_raw", hz=1000, verbose=False):
+        self.objectName = object_name
+        self.clock = clock
+        self.control = controller
+        self.sequencesPerObject = sequences_per_object
+        self.startCount = start_count
+        self.saveBatchSize = save_batch_size
+        self.vertical = vertical_movement
+        self.pokeDistance = poke_distance
+        self.dataDir = data_dir
+        self.hz = hz
+        self.verbose = verbose
+
+        self.zeroing = False
+        self.recording = False
+        self.waitingForData = False
+        self.reheating = False
+        self.startTime = 0.0
+
+        self.RGripRFingerForce = np.zeros(22)
+        self.RGripRFingerForceMean = None
+        self.RGripRFingerForceRecent = []
+        self.accelMean = None
+        self.accelRecent = []
+        self.temperatureMean = None
+        self.temperatureRecent = []
+        self.contactmicMean = None
+        self.contactmicRecent = []
+        self.temperatureDataReceived = False
+        self.contactmicDataReceived = False
+        self.temperatureReheat = 0.0
+        self.collisionTimeTemp = 10000
+        self.collisionTimeForce = 10000
+
+        self.resetData()
+
+        self.client = BusClient(bus_address)
+        self.client.subscribe("/pressure/r_gripper_motor",
+                              self.rGripperForceCallback)
+        self.client.subscribe("/accelerometer/r_gripper_motor",
+                              self.accelerometerCallback)
+        self.client.subscribe("/semihaptics/temperature",
+                              self.temperatureCallback)
+        self.client.subscribe("/semihaptics/contactmic",
+                              self.contactmicCallback)
+        self.client.subscribe("/semihaptics/collisiontime",
+                              self.collisionTimeCallback)
+        self.statePublisher = lambda s: self.client.publish(
+            "/semihaptics/datastate", s)
+
+    # -- data management (collectdataPoke.py:107-231) -----------------------
+
+    def resetData(self):
+        self.dataAll = {
+            "RGripRFingerTime": [], "RGripRFingerForceRaw": [],
+            "RGripRFingerForce": [], "RGripRFingerPressure": [],
+            "temperatureTime": [], "temperatureRaw": [], "temperature": [],
+            "accelerometerTime": [], "accelerometerRaw": [],
+            "accelerometer": [], "contactmicTime": [], "contactmicRaw": [],
+            "contactmic": [], "collisionTime": [],
+        }
+
+    def collisionTimeCallback(self, msg):
+        self.collisionTimeTemp = msg
+
+    def rGripperForceCallback(self, msg):
+        raw = np.array(msg["r_finger_tip"])
+        if self.zeroing and self.RGripRFingerForceMean is None:
+            self.RGripRFingerForceRecent.append(raw)
+            if len(self.RGripRFingerForceRecent) >= 20:
+                self.RGripRFingerForceMean = np.mean(
+                    self.RGripRFingerForceRecent, axis=0)
+        elif self.RGripRFingerForceMean is not None:
+            self.RGripRFingerForce = (raw - self.RGripRFingerForceMean) / \
+                FORCE_PER_UNIT
+            pressure = self.RGripRFingerForce / TACTILE_AREA / 1000.0
+            if self.recording:
+                self.dataAll["RGripRFingerTime"][-1].append(
+                    self.clock.now() - self.startTime)
+                self.dataAll["RGripRFingerForceRaw"][-1].append(raw)
+                self.dataAll["RGripRFingerForce"][-1].append(
+                    np.copy(self.RGripRFingerForce))
+                self.dataAll["RGripRFingerPressure"][-1].append(pressure)
+
+    def accelerometerCallback(self, msg):
+        samples = msg["samples"]
+        raw = np.mean(samples, axis=0)
+        if self.zeroing and self.accelMean is None:
+            self.accelRecent.append(raw)
+            if len(self.accelRecent) >= 20:
+                self.accelMean = np.mean(self.accelRecent, axis=0)
+        elif self.recording and self.accelMean is not None:
+            now = self.clock.now() - self.startTime
+            self.dataAll["accelerometerTime"][-1].extend([now] * len(samples))
+            self.dataAll["accelerometerRaw"][-1].extend(samples)
+            self.dataAll["accelerometer"][-1].extend(
+                [np.array(s) - self.accelMean for s in samples])
+
+    def contactmicCallback(self, msg):
+        if self.zeroing and self.contactmicMean is None:
+            self.contactmicRecent.append(msg[0])
+            if len(self.contactmicRecent) >= 20:
+                self.contactmicMean = np.mean(self.contactmicRecent)
+        elif self.waitingForData:
+            half = len(msg) // 2
+            self.dataAll["contactmicTime"].append(msg[:half])
+            self.dataAll["contactmicRaw"].append(msg[half:])
+            self.dataAll["contactmic"].append(
+                (np.array(msg[half:]) - self.contactmicMean).tolist())
+            self.contactmicDataReceived = True
+
+    def temperatureCallback(self, msg):
+        if self.zeroing and self.temperatureMean is None:
+            self.temperatureRecent.append(msg)
+            if len(self.temperatureRecent) >= 20:
+                self.temperatureMean = np.mean(self.temperatureRecent, axis=0)
+        elif self.waitingForData:
+            third = len(msg) // 3
+            self.dataAll["temperatureTime"].append(msg[:third])
+            raw = np.reshape(msg[third:], (third, 2))
+            self.dataAll["temperatureRaw"].append(raw)
+            self.dataAll["temperature"].append(raw - self.temperatureMean)
+            self.temperatureDataReceived = True
+        elif self.reheating:
+            self.temperatureReheat = msg[-1]
+
+    def zeroData(self, timeout=30.0):
+        self.RGripRFingerForceMean = None
+        self.RGripRFingerForceRecent = []
+        self.accelMean = None
+        self.accelRecent = []
+        self.temperatureMean = None
+        self.temperatureRecent = []
+        self.contactmicMean = None
+        self.contactmicRecent = []
+        self.zeroing = True
+        self.statePublisher("zeroing")
+        deadline = self.clock.now() + timeout
+        while (self.RGripRFingerForceMean is None or self.accelMean is None
+               or self.temperatureMean is None or self.contactmicMean is None):
+            if self.clock.now() > deadline:
+                raise TimeoutError("zeroData: sensors not all reporting")
+            self.clock.sleep(0.01)
+        self.statePublisher("stop")
+        self.zeroing = False
+        if self.verbose:
+            print("Data zeroed")
+
+    def beginNewDataSequence(self):
+        for key, value in self.dataAll.items():
+            if "RGrip" in key or "accel" in key:
+                value.append([])
+        self.collisionTimeTemp = 10000
+        self.collisionTimeForce = 10000
+        self.zeroData()
+
+    def saveData(self, batch=-1):
+        filename = os.path.join(
+            self.dataDir,
+            "newdata_%s_%dseqs%s" % (
+                self.objectName, self.sequencesPerObject,
+                "_batchof%d_%d" % (self.saveBatchSize, batch)
+                if batch >= 0 else ""),
+        )
+        os.makedirs(self.dataDir, exist_ok=True)
+        with open(filename + ".pkl", "wb") as f:
+            pickle.dump(self.dataAll, f, pickle.HIGHEST_PROTOCOL)
+        return filename + ".pkl"
+
+    def reheat(self, target=55.0, tol=0.5, timeout=120.0):
+        self.temperatureReheat = 0.0
+        self.reheating = True
+        self.statePublisher("zeroing")  # publisher streams readings (:236)
+        deadline = self.clock.now() + timeout
+        while abs(self.temperatureReheat - target) > tol:
+            if self.clock.now() > deadline:
+                break  # continue with a cooler fingertip rather than hang
+            self.clock.sleep(0.5)
+        self.statePublisher("stop")
+        self.reheating = False
+        if self.verbose:
+            print("Temperature sensor reheated to:", self.temperatureReheat)
+
+    # -- poke loop (collectdataPoke.py:245-408) ------------------------------
+
+    def performInteraction(self, init_right_pos=(0.495, -0.1, 0.08),
+                           init_right_rpy=(0.0, 0.0, np.pi / 2.0),
+                           rng=None):
+        rng = rng or np.random
+        start_pos = np.array(init_right_pos, float)
+        self.control.moveGripperTo(start_pos, init_right_rpy, timeout=0.5,
+                                   wait=True, rightArm=True)
+        if self.control.world is not None:
+            self.control.world.set_start(start_pos)
+
+        self.reheat()
+        index = 2 if self.vertical else 1
+        axis_delta = np.zeros(3)
+        axis_delta[index] = (self.pokeDistance if not self.vertical
+                             else -self.pokeDistance)
+        saved = []
+
+        i = self.startCount
+        for i in range(self.startCount, self.sequencesPerObject):
+            self.beginNewDataSequence()
+            motiontime = rng.uniform(1.5, 2.5)
+            self.startTime = self.clock.now()
+            self.control.moveGripperTo(start_pos + axis_delta, init_right_rpy,
+                                       timeout=motiontime, wait=False,
+                                       rightArm=True)
+            self.recording = True
+            self.statePublisher("start")
+
+            # spin until contact or timeout (:316,329-342)
+            while True:
+                force = self.RGripRFingerForce
+                if (force[3] > 1 or force[4] > 1
+                        or self.collisionTimeTemp != 10000
+                        or self.clock.now() - self.startTime > 7):
+                    break
+                self.clock.sleep(1.0 / self.hz)
+
+            self.statePublisher("contact")
+            self.collisionTimeForce = self.clock.now() - self.startTime
+
+            # 4 s contact dwell (:345-347)
+            grasp_end = self.clock.now() + 4.0
+            while self.clock.now() < grasp_end:
+                self.clock.sleep(1.0 / self.hz)
+
+            # stop + bulk replay handshake (:350-359)
+            self.waitingForData = True
+            self.statePublisher("stop")
+            self.recording = False
+            deadline = self.clock.now() + 30.0
+            while not (self.contactmicDataReceived
+                       and self.temperatureDataReceived):
+                if self.clock.now() > deadline:
+                    raise TimeoutError("bulk sensor replay not received")
+                self.clock.sleep(0.001)
+            self.contactmicDataReceived = False
+            self.temperatureDataReceived = False
+            self.waitingForData = False
+
+            self.dataAll["collisionTime"].append(
+                min(self.collisionTimeForce, self.collisionTimeTemp))
+            if self.verbose:
+                print("Iteration %d collected, collision times:" % i,
+                      (self.collisionTimeForce, self.collisionTimeTemp))
+
+            # retreat and reheat (:377-399)
+            self.control.moveGripperTo(start_pos, init_right_rpy, timeout=1.0,
+                                       wait=True, rightArm=True)
+            if (i + 1) % self.saveBatchSize == 0:
+                saved.append(self.saveData(batch=(i + 1) // self.saveBatchSize))
+                self.resetData()
+            self.reheat()
+
+        if (i + 1) % self.saveBatchSize != 0:
+            saved.append(self.saveData(batch=(i + 1) // self.saveBatchSize))
+        return saved

@@ -1,0 +1,149 @@
+"""Sensor publisher nodes: serial (firmware sim) -> bus topics.
+
+State machines mirror datacollection/publishers/temperaturepublisher.py and
+contactmicpublisher.py:
+
+- 'zeroing': publish individual readings so the orchestrator can compute
+  zero-offsets (temperaturepublisher.py:75-78);
+- 'start' -> 'record': buffer (time, value) pairs; the temperature publisher
+  watches for a >1 C delta from the first 10 samples and, on detection,
+  sends the firmware 'H' hold command and publishes the collision time
+  (:86-93);
+- 'contact' message: immediate 'H' (datastate callback, :45-51);
+- 'stop': bulk-publish the whole recording as one flat array (times then
+  values; temperature interleaves (raw, celsius) pairs) and re-enable
+  temperature control with 'C' (:95-109).
+"""
+
+import threading
+
+import numpy as np
+
+from . import serialdev
+from .bus import BusClient
+
+
+class PublisherBase(threading.Thread):
+    def __init__(self, bus_address, clock, dev):
+        super().__init__(daemon=True)
+        self.clock = clock
+        self.dev = dev
+        self.client = BusClient(bus_address)
+        self.state = "stop"
+        self._running = True
+        self.client.subscribe("/semihaptics/datastate", self._datastate)
+
+    def _datastate(self, msg):
+        raise NotImplementedError
+
+    def stop(self):
+        self._running = False
+
+    def close(self):
+        self.stop()
+        self.dev.close()
+        self.client.close()
+
+
+class TemperaturePublisher(PublisherBase):
+    """temperaturepublisher.py equivalent over the thermal_sim firmware."""
+
+    def __init__(self, bus_address, clock, dev=None, timescale=1.0):
+        dev = dev or serialdev.setup_serial(
+            serialdev.thermal_sim_argv(timescale=timescale))
+        super().__init__(bus_address, clock, dev)
+        self.contact = False
+
+    def _datastate(self, msg):
+        if msg.lower() == "contact":
+            # Send hold command (temperaturepublisher.py:47-51)
+            self.dev.write("H")
+            self.contact = True
+        else:
+            if msg.lower() in ("start",):
+                self.dev.drain()
+            self.state = msg.lower()
+
+    def run(self):
+        data, times = [], []
+        t = self.clock.now()
+        while self._running:
+            if self.state == "zeroing":
+                values = serialdev.get_data(self.dev, 2)
+                if values:
+                    self.client.publish("/semihaptics/temperature", values)
+            elif self.state == "start":
+                t = self.clock.now()
+                data, times = [], []
+                self.state = "record"
+            elif self.state == "record":
+                values = serialdev.get_data(self.dev, 2)
+                if not values:
+                    continue
+                data.append(values)
+                times.append(self.clock.now())
+                # contact detection: >1 C delta vs the first 10 samples
+                if (not self.contact and len(data) > 10
+                        and abs(data[-1][-1]
+                                - np.mean([d[-1] for d in data[:10]])) > 1):
+                    self.dev.write("H")
+                    self.contact = True
+                    self.client.publish("/semihaptics/collisiontime",
+                                        self.clock.now() - t)
+            else:
+                if self.contact:
+                    self.dev.write("C")  # re-enable control (:97-100)
+                    self.contact = False
+                if data or times:
+                    flat = ([tt - t for tt in times]
+                            + np.asarray(data).flatten().tolist())
+                    self.client.publish("/semihaptics/temperature", flat)
+                    data, times = [], []
+                self.clock.sleep(0.0001)
+
+
+class ContactMicPublisher(PublisherBase):
+    """contactmicpublisher.py equivalent over the contactmic_sim firmware."""
+
+    def __init__(self, bus_address, clock, dev=None, timescale=1.0,
+                 rate=4000.0):
+        dev = dev or serialdev.setup_serial(
+            serialdev.contactmic_sim_argv(timescale=timescale, rate=rate))
+        super().__init__(bus_address, clock, dev)
+
+    def _datastate(self, msg):
+        if msg.lower() != "contact":
+            if msg.lower() == "start":
+                self.dev.drain()
+            self.state = msg.lower()
+
+    def run(self):
+        data, times = [], []
+        t = self.clock.now()
+        last_t = -1.0
+        while self._running:
+            if self.state == "zeroing":
+                value = serialdev.get_data(self.dev, 1, max_value=10000)
+                if value != []:
+                    self.client.publish("/semihaptics/contactmic", [value])
+            elif self.state == "start":
+                t = self.clock.now()
+                data, times = [], []
+                last_t = -1.0
+                self.state = "record"
+            elif self.state == "record":
+                value = serialdev.get_data(self.dev, 1, max_value=10000)
+                if value == []:
+                    continue
+                now = self.clock.now()
+                if now <= last_t:  # burst reads: keep timestamps monotonic
+                    now = last_t + 1e-6
+                last_t = now
+                data.append(value)
+                times.append(now)
+            else:
+                if data or times:
+                    flat = [tt - t for tt in times] + data
+                    self.client.publish("/semihaptics/contactmic", flat)
+                    data, times = [], []
+                self.clock.sleep(0.0001)

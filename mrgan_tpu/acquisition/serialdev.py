@@ -1,0 +1,108 @@
+"""Pipe-backed 'serial port' onto the C++ firmware simulators.
+
+Mirrors the reference's pyserial usage: setupSerial with timeouts + flush
+(temperaturepublisher.py:14-22), getData with 4 retry attempts and format
+validation (:24-40), single-character command writes (:47-51).
+"""
+
+import os
+import queue
+import subprocess
+import threading
+
+NATIVE_BIN = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native", "bin")
+
+
+class SerialDevice:
+    """Line-oriented device over a subprocess's stdio."""
+
+    def __init__(self, argv, timeout=0.05):
+        self.proc = subprocess.Popen(
+            argv, stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1,
+        )
+        self.timeout = timeout
+        self._lines = queue.Queue(maxsize=1_000_000)
+        self._reader = threading.Thread(target=self._pump, daemon=True)
+        self._reader.start()
+
+    def _pump(self):
+        try:
+            for line in self.proc.stdout:
+                self._lines.put(line)
+        except ValueError:
+            pass
+
+    def readline(self):
+        try:
+            return self._lines.get(timeout=self.timeout)
+        except queue.Empty:
+            return ""
+
+    def write(self, data):
+        try:
+            self.proc.stdin.write(data if data.endswith("\n") else data + "\n")
+            self.proc.stdin.flush()
+        except (OSError, ValueError):
+            pass
+
+    def flush(self):
+        pass  # queue drains continuously; parity with serialDev.flush()
+
+    def drain(self):
+        """Discard everything buffered so far (used on state transitions so a
+        recording starts from fresh samples, not stale queue backlog). O(1):
+        popping a multi-second backlog item-by-item would delay the recording
+        epoch by tens of sim-milliseconds."""
+        with self._lines.mutex:
+            self._lines.queue.clear()
+
+    def close(self):
+        self.write("Q")
+        try:
+            self.proc.wait(timeout=2)
+        except subprocess.TimeoutExpired:
+            self.proc.kill()
+
+
+def setup_serial(argv, timeout=0.05, warmup_lines=25):
+    """setupSerial + the reference's 'read a few lines to get things rolling'
+    (temperaturepublisher.py:66-67)."""
+    dev = SerialDevice(argv, timeout)
+    for _ in range(warmup_lines):
+        dev.readline()
+    return dev
+
+
+def get_data(dev, num_outputs=1, max_value=None):
+    """getData retry semantics (temperaturepublisher.py:24-40,
+    contactmicpublisher.py:24-34). Returns list (num_outputs>1), float, or []."""
+    for _ in range(4):
+        line = dev.readline()
+        try:
+            values = [float(v) for v in line.split(",")]
+            if num_outputs > 1:
+                if len(values) == num_outputs:
+                    return values
+            elif len(values) == 1:
+                if max_value is None or values[0] < max_value:
+                    return values[0]
+        except ValueError:
+            pass
+        dev.flush()
+    return []
+
+
+def thermal_sim_argv(timescale=1.0, ambient=22.0, material=None):
+    argv = [os.path.join(NATIVE_BIN, "thermal_sim"),
+            "--timescale", str(timescale), "--ambient", str(ambient)]
+    if material is not None:
+        argv += ["--material", str(material)]
+    return argv
+
+
+def contactmic_sim_argv(timescale=1.0, rate=4000.0, noise=12.0):
+    return [os.path.join(NATIVE_BIN, "contactmic_sim"),
+            "--timescale", str(timescale), "--rate", str(rate),
+            "--noise", str(noise)]

@@ -1,0 +1,142 @@
+"""End-to-end acquisition stack tests: C++ firmware sims <-> publishers <->
+bus <-> orchestrator, producing raw pickles that flow through the
+preprocessing pipeline."""
+
+import os
+import pickle
+import subprocess
+
+import numpy as np
+import pytest
+
+from mrgan_tpu.acquisition import collect, controller, publishers, serialdev
+from mrgan_tpu.acquisition.bus import BusClient, BusServer, SimClock
+
+NATIVE = serialdev.NATIVE_BIN
+
+
+@pytest.fixture(scope="module", autouse=True)
+def build_native():
+    subprocess.run(["make", "-s"], cwd=os.path.dirname(NATIVE), check=True)
+
+
+def test_bus_pubsub():
+    server = BusServer()
+    got = []
+    sub = BusClient(server.address)
+    sub.subscribe("/topic/a", got.append)
+    pub = BusClient(server.address)
+    import time
+
+    time.sleep(0.1)
+    pub.publish("/topic/a", [1.0, 2.0])
+    pub.publish("/topic/b", "ignored")
+    deadline = time.time() + 2
+    while not got and time.time() < deadline:
+        time.sleep(0.01)
+    assert got == [[1.0, 2.0]]
+    sub.close(); pub.close(); server.close()
+
+
+def test_thermal_sim_protocol():
+    dev = serialdev.setup_serial(serialdev.thermal_sim_argv(timescale=200))
+    clock = SimClock(200)
+    # warms to 55 +/- 0.5 within 60 sim-seconds
+    celsius = 0.0
+    deadline = clock.now() + 60
+    while clock.now() < deadline:
+        v = serialdev.get_data(dev, 2)
+        if v:
+            celsius = v[1]
+            if abs(celsius - 55.0) < 0.5:
+                break
+    assert abs(celsius - 55.0) < 0.5, celsius
+    # contact coupling cools it
+    dev.write("X 300")
+    clock.sleep(3.0)
+    dev.drain()
+    v = serialdev.get_data(dev, 2)
+    assert v and v[1] < 53.0, v
+    # hold command freezes the control loop: voltage setpoint stops chasing
+    dev.write("H")
+    dev.write("R")
+    dev.close()
+
+
+def test_contactmic_sim_burst():
+    dev = serialdev.setup_serial(
+        serialdev.contactmic_sim_argv(timescale=50, rate=2000))
+    clock = SimClock(50)
+    quiet = [serialdev.get_data(dev, 1, max_value=10000) for _ in range(200)]
+    quiet = [q for q in quiet if q != []]
+    dev.write("B 800 900 30")
+    clock.sleep(0.02)
+    loud = [serialdev.get_data(dev, 1, max_value=10000) for _ in range(200)]
+    loud = [q for q in loud if q != []]
+    dev.close()
+    assert np.std(loud) > 3 * np.std(quiet)
+
+
+@pytest.mark.slow
+def test_full_collection_to_processed(tmp_path):
+    """Two pokes end-to-end: firmware sims -> publishers -> orchestrator ->
+    raw pickle -> preprocess -> per-poke windows with a real temperature
+    drop and an audible impact burst."""
+    # mic wall line rate = rate * timescale must stay within what the python
+    # reader sustains (~25k lines/s), like real serial at 115200 baud
+    timescale = 10.0
+    clock = SimClock(timescale)
+    server = BusServer()
+    thermal = serialdev.setup_serial(
+        serialdev.thermal_sim_argv(timescale=timescale))
+    mic = serialdev.setup_serial(
+        serialdev.contactmic_sim_argv(timescale=timescale, rate=2000))
+    temp_pub = publishers.TemperaturePublisher(server.address, clock, thermal)
+    mic_pub = publishers.ContactMicPublisher(server.address, clock, mic)
+    temp_pub.start(); mic_pub.start()
+    world = controller.SimWorld(server.address, clock, thermal, mic,
+                                material="metal")
+    world.start()
+    control = controller.SimController(world=world, clock=clock)
+    collector = collect.CollectData(
+        "metal_block", server.address, clock, control,
+        sequences_per_object=2, save_batch_size=25,
+        data_dir=str(tmp_path), verbose=False)
+    try:
+        saved = collector.performInteraction(rng=np.random.RandomState(0))
+    finally:
+        world.stop(); temp_pub.close(); mic_pub.close(); server.close()
+
+    assert len(saved) == 1
+    with open(saved[0], "rb") as f:
+        raw = pickle.load(f)
+    assert len(raw["collisionTime"]) == 2
+    assert len(raw["temperatureRaw"]) == 2
+    assert len(raw["contactmic"]) == 2
+    for i in range(2):
+        impact = raw["collisionTime"][i]
+        assert 0 < impact < 7
+        temps = np.asarray(raw["temperatureRaw"][i])[:, 1]
+        t_times = np.asarray(raw["temperatureTime"][i])
+        # temperature drops >1 C after contact (metal coupling)
+        pre = temps[t_times < impact]
+        post = temps[t_times > impact + 1.5]
+        assert len(pre) > 3 and len(post) > 3
+        assert pre.mean() - post.min() > 1.0
+        # mic burst raises variance after impact
+        mics = np.asarray(raw["contactmic"][i])
+        m_times = np.asarray(raw["contactmicTime"][i])
+        assert np.std(mics[(m_times > impact) & (m_times < impact + 0.15)]) > \
+            2 * np.std(mics[m_times < impact - 0.1])
+        # forces on taxels 3/4 exceeded the 1 N contact threshold
+        forces = np.asarray(raw["RGripRFingerForce"][i])
+        assert forces[:, 3].max() > 1.0
+
+    # the raw pickle flows through the preprocessing pipeline
+    from mrgan_tpu.data import preprocess
+
+    processed = preprocess.process_sequences(raw, duration=2.0,
+                                             contact_len=0.1)
+    assert np.asarray(processed["temperature"]).shape == (2, 200)
+    assert np.asarray(processed["contact"]).shape == (2, 4800)
+    assert np.asarray(processed["force0"]).shape == (2, 200)
