@@ -1,0 +1,39 @@
+"""Keras-2.0.9 Adam semantics (train/optim.py) against hand-computed values:
+lr_t = lr*sqrt(1-b2^t)/(1-b1^t); p -= lr_t * m/(sqrt(v)+eps) — eps OUTSIDE
+the bias-corrected sqrt, unlike optax.adam."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mrgan_tpu.train import optim
+
+
+def test_adam_first_step_hand_computed():
+    p = {"w": jnp.array([1.0, -2.0])}
+    g = {"w": jnp.array([0.5, -1.0])}
+    lr, b1, b2, eps = 6e-4, 0.5, 0.999, 1e-8
+    state = optim.init(p)
+    new_p, state = optim.update(g, state, p, lr=lr, b1=b1, b2=b2, eps=eps)
+
+    m = (1 - b1) * np.array([0.5, -1.0])
+    v = (1 - b2) * np.array([0.25, 1.0])
+    lr_t = lr * np.sqrt(1 - b2) / (1 - b1)
+    want = np.array([1.0, -2.0]) - lr_t * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(np.asarray(new_p["w"]), want, rtol=1e-6)
+    assert int(state["t"]) == 1
+
+
+def test_adam_two_steps_bias_correction():
+    p = {"w": jnp.array([0.0])}
+    state = optim.init(p)
+    lr, b1, b2, eps = 1e-3, 0.9, 0.999, 1e-8
+    g = {"w": jnp.array([1.0])}
+    m = v = 0.0
+    w = 0.0
+    for t in (1, 2):
+        p, state = optim.update(g, state, p, lr=lr, b1=b1, b2=b2, eps=eps)
+        m = b1 * m + (1 - b1) * 1.0
+        v = b2 * v + (1 - b2) * 1.0
+        lr_t = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
+        w = w - lr_t * m / (np.sqrt(v) + eps)
+    np.testing.assert_allclose(float(p["w"][0]), w, rtol=1e-4)  # f32
