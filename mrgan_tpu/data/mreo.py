@@ -40,11 +40,23 @@ def have_processed(data_dir, forcetemp_time=4, contactmic_time=0.2):
     )
 
 
+def _normalize_keys(obj):
+    """Python-2 pickles can surface dict keys as bytes depending on how they
+    were written; normalize to str so downstream indexing is uniform."""
+    if isinstance(obj, dict):
+        return {
+            (k.decode("latin1") if isinstance(k, bytes) else k):
+                _normalize_keys(v)
+            for k, v in obj.items()
+        }
+    return obj
+
+
 def _load_material(data_dir, material, forcetemp_time, contactmic_time):
     with open(
         processed_path(data_dir, material, forcetemp_time, contactmic_time), "rb"
     ) as f:
-        return pickle.load(f, encoding="latin1")
+        return _normalize_keys(pickle.load(f, encoding="latin1"))
 
 
 def _material_batches(obj_data):

@@ -1,0 +1,66 @@
+"""MREO processed-pickle loader tests: real-file path with py2-ish pickles
+(latin1 decode, bytes keys), modality encodings, leave-object-out layout."""
+
+import os
+import pickle
+
+import numpy as np
+
+from mrgan_tpu import MATERIALS
+from mrgan_tpu.data import mreo, synthetic
+
+
+def _write_processed(tmp_path, forcetemp_time=0.5, contactmic_time=0.05,
+                     bytes_keys=False):
+    data = synthetic.generate_processed(
+        seed=0, forcetemp_time=forcetemp_time, contactmic_time=contactmic_time,
+        pokes_per_object=3, objects_per_material=2)
+    for material in MATERIALS:
+        obj = data[material]
+        if bytes_keys:
+            obj = {
+                k.encode("latin1"): {
+                    kk.encode("latin1"): vv for kk, vv in v.items()
+                }
+                for k, v in obj.items()
+            }
+        path = mreo.processed_path(str(tmp_path), material, forcetemp_time,
+                                   contactmic_time)
+        with open(path, "wb") as f:
+            pickle.dump(obj, f, protocol=2)
+    return str(tmp_path)
+
+
+def test_load_from_pickles_matches_synthetic_path(tmp_path):
+    d = _write_processed(tmp_path)
+    assert mreo.have_processed(d, 0.5, 0.05)
+    x, y = mreo.load_features(modalities=2, forcetemp_time=0.5,
+                              contactmic_time=0.05, data_dir=d)
+    # force0+force1+temperature at 0.5 s -> 3*50 features, 6*2*3 pokes
+    assert x.shape == (36, 150)
+    assert sorted(set(y.tolist())) == list(range(6))
+
+
+def test_load_handles_bytes_keys(tmp_path):
+    d = _write_processed(tmp_path, bytes_keys=True)
+    objects = mreo.load_features(modalities=0, forcetemp_time=0.5,
+                                 contactmic_time=0.05, data_dir=d,
+                                 leave_object_out=True)
+    assert len(objects) == 12
+    assert all(isinstance(k, str) for k in objects)
+    first = next(iter(objects.values()))
+    assert np.asarray(first["x"]).shape == (3, 100)  # force0+force1
+
+
+def test_modality_encodings_shapes(tmp_path):
+    d = _write_processed(tmp_path)
+    from mrgan_tpu.ops import mel as mel_ops
+
+    n_audio = int(48000 * 0.05)
+    mel_dim = mel_ops.logmel_dim(n_audio)
+    want_dims = {0: 100, 1: 50, 2: 150, 3: mel_dim, 4: 50 + mel_dim,
+                 5: 150 + mel_dim, 6: 100 + mel_dim}
+    for modality, dim in want_dims.items():
+        x, y = mreo.load_features(modalities=modality, forcetemp_time=0.5,
+                                  contactmic_time=0.05, data_dir=d)
+        assert x.shape == (36, dim), (modality, x.shape)
