@@ -49,7 +49,9 @@ def main():
         for tr, te in splits
     ]
     lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
-    keys = jax.random.split(jax.random.PRNGKey(0), folds)
+    from mrgan_tpu.utils import rng as rng_util
+
+    keys = rng_util.make_keys(0, folds)
 
     def run():
         errs = gan.train_folds_indexed(keys, ds.X, ds.y, lab, pool, train,

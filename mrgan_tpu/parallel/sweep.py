@@ -18,15 +18,21 @@ from . import mesh as mesh_lib
 
 
 def _pad_work_axis(arrs, w_padded):
-    """Pad the leading work axis by repeating item 0 (results are sliced off)."""
+    """Pad the leading work axis by repeating item 0 (results are sliced off).
+    Typed PRNG key arrays aren't numpy-convertible, so they pad via jnp."""
+    import jax.numpy as jnp
+
     out = []
     for a in arrs:
         w = a.shape[0]
         if w == w_padded:
             out.append(a)
+        elif isinstance(a, np.ndarray):
+            reps = np.repeat(a[:1], w_padded - w, axis=0)
+            out.append(np.concatenate([a, reps], axis=0))
         else:
-            reps = np.repeat(np.asarray(a[:1]), w_padded - w, axis=0)
-            out.append(np.concatenate([np.asarray(a), reps], axis=0))
+            reps = jnp.repeat(a[:1], w_padded - w, axis=0)
+            out.append(jnp.concatenate([a, reps], axis=0))
     return out
 
 

@@ -108,9 +108,9 @@ def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
         valid_dim = stacked["x_labeled"].shape[-1]
         for k in ("x_labeled", "x_test"):
             stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
-        keys = jax.random.split(
-            jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds)
-        )
+        from ..utils import rng as rng_util
+
+        keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
         args = (keys, stacked["x_labeled"], stacked["y_labeled"],
                 stacked["x_test"], stacked["y_test"])
         if mesh is not None and mesh.shape.get("cell", 1) > 1:
@@ -141,7 +141,9 @@ def run_mlp_cell(x, y, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
     valid_dim = stacked["x_labeled"].shape[-1]
     for k in ("x_labeled", "x_test"):
         stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
-    keys = jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds))
+    from ..utils import rng as rng_util
+
+    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
     errs = train_folds(
         keys, stacked["x_labeled"], stacked["y_labeled"],
         stacked["x_test"], stacked["y_test"], valid_dim=valid_dim, cfg=cfg,

@@ -179,8 +179,9 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
     import jax
 
     lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
-    keys = jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)),
-                            len(idx))
+    from ..utils import rng as rng_util
+
+    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(idx))
     if mesh is not None and mesh.shape.get("cell", 1) > 1:
         from ..parallel import sweep
 
@@ -202,9 +203,9 @@ def run_prepared_folds(folds, cfg, rng, mesh=None):
     valid_dim = stacked["x_labeled"].shape[-1]
     for k in ("x_labeled", "pool", "x_test"):
         stacked[k], _ = gan.pad_features(stacked[k], cfg.pad_multiple)
-    keys = jax.random.split(
-        jax.random.PRNGKey(rng.randint(2**31 - 1)), len(folds)
-    )
+    from ..utils import rng as rng_util
+
+    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
     args = (
         keys,
         stacked["x_labeled"], stacked["y_labeled"], stacked["pool"],

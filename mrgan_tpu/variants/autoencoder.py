@@ -126,8 +126,9 @@ def run_ae_gan_cell(x, y, percentlabeled, ae_cfg: AeConfig = AeConfig(),
         for tr, te in splits
     ]
     stacked = protocol.stack_folds(folds)
-    keys = jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)),
-                            len(folds))
+    from ..utils import rng as rng_util
+
+    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
     errs = _compiled(stacked["n_train"], ae_cfg, gan_cfg)(
         keys, stacked["x_labeled"], stacked["y_labeled"], stacked["pool"],
         stacked["x_test"], stacked["y_test"],

@@ -243,8 +243,9 @@ def run_wgan_cell(x, y, percent_labeled=1.0, cfg: WganConfig = WganConfig(),
     stacked = protocol.stack_folds(folds)
     for k in ("x_labeled", "pool", "x_test"):
         stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
-    keys = jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)),
-                            len(folds))
+    from ..utils import rng as rng_util
+
+    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
     errs = train_folds(keys, stacked["x_labeled"], stacked["y_labeled"],
                        stacked["pool"], stacked["x_test"], stacked["y_test"],
                        stacked["n_train"], cfg=cfg)
