@@ -84,11 +84,15 @@ def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
         data_dir, forcetemp_time, contactmic_time
     )
     if use_synth:
+        kw = dict(synthetic_kwargs or {})
+        # skip the (dominant-cost) 48 kHz audio synthesis for audio-free
+        # modalities
+        kw.setdefault("with_contact", modalities in feat_ops.NEEDS_AUDIO)
         synth = synthetic.generate_processed(
             seed=0 if synthetic_seed is None else synthetic_seed,
             forcetemp_time=forcetemp_time,
             contactmic_time=contactmic_time,
-            **(synthetic_kwargs or {}),
+            **kw,
         )
 
     objects = {}

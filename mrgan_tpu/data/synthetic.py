@@ -120,10 +120,14 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
 
 def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                        pokes_per_object=100, objects_per_material=12,
-                       noise_scale=1.0):
+                       noise_scale=1.0, with_contact=True):
     """Synthesize the processed-pickle structure:
     {material: {objName: {'temperature','force0','force1','contact',
     'temperatureTime','forceTime','contactTime': (pokes, n) float32}}}.
+
+    ``with_contact=False`` skips the 48 kHz audio synthesis (the dominant
+    cost) for force/temperature-only modalities. The same seed produces the
+    same force/temperature streams either way (audio uses a separate RNG).
     """
     rng = np.random.RandomState(seed)
     n_ft = int(100 * forcetemp_time)
@@ -161,30 +165,36 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             force1 = 0.8 * peak * ramp + peak * osc * 0.7 + noise_scale * 0.05 * rng.randn(p, n_ft)
 
             # --- contact mic: damped resonant burst at window center ---
-            tc = t_c[None, :]
-            burst = np.zeros((p, n_c), np.float32)
-            for mode, (fm, am) in enumerate(
-                [(o_res, amp), (o_res * 2.3, amp * 0.4), (o_res * 0.5, amp * 0.6)]
-            ):
-                phase = rng.uniform(0, 2 * np.pi, (p, 1))
-                fm_p = fm * rng.uniform(0.97, 1.03, (p, 1))
-                burst += (
-                    am
-                    * 200.0
-                    * np.exp(-np.maximum(tc, 0.0) * decay * (1 + mode))
-                    * np.sin(2 * np.pi * fm_p * tc + phase)
-                    * (tc >= 0.0)
-                )
-            contact = burst + noise_scale * 2.0 * rng.randn(p, n_c)
-
+            # separate RNG (seeded from the main stream) so skipping audio
+            # doesn't perturb the force/temperature draws
+            audio_seed = rng.randint(2**31 - 1)
             objects[obj] = {
                 "temperature": temp.astype(np.float32),
                 "force0": force0.astype(np.float32),
                 "force1": force1.astype(np.float32),
-                "contact": contact.astype(np.float32),
                 "temperatureTime": np.broadcast_to(t_ft, (p, n_ft)).copy(),
                 "forceTime": np.broadcast_to(t_ft, (p, n_ft)).copy(),
-                "contactTime": np.broadcast_to(t_c, (p, n_c)).copy(),
             }
+            if with_contact:
+                arng = np.random.RandomState(audio_seed)
+                tc = t_c[None, :]
+                burst = np.zeros((p, n_c), np.float32)
+                for mode, (fm, am) in enumerate(
+                    [(o_res, amp), (o_res * 2.3, amp * 0.4),
+                     (o_res * 0.5, amp * 0.6)]
+                ):
+                    phase = arng.uniform(0, 2 * np.pi, (p, 1))
+                    fm_p = fm * arng.uniform(0.97, 1.03, (p, 1))
+                    burst += (
+                        am
+                        * 200.0
+                        * np.exp(-np.maximum(tc, 0.0) * decay * (1 + mode))
+                        * np.sin(2 * np.pi * fm_p * tc + phase)
+                        * (tc >= 0.0)
+                    ).astype(np.float32)
+                contact = burst + noise_scale * 2.0 * arng.randn(p, n_c)
+                objects[obj]["contact"] = contact.astype(np.float32)
+                objects[obj]["contactTime"] = np.broadcast_to(
+                    t_c, (p, n_c)).copy()
         out[material] = objects
     return out
