@@ -38,6 +38,29 @@ def test_gan_table6_smoke(tiny_grids, capsys):
     assert out.count("Percentage of training data unlabeled:") == 2
 
 
+def test_gan_table3_loo_smoke(tiny_grids, capsys):
+    tables.gan_main(["-t", "3"] + BASE)
+    out = capsys.readouterr().out
+    assert "Testing generalization with leave-one-object-out validation" in out
+    assert "Average leave-one-object-out error:" in out
+    # one result line per held-out object (6 materials x 12 objects)
+    assert sum("Test error:" in ln for ln in out.splitlines()) == 72
+
+
+def test_gan_table5_smoke(tiny_grids, capsys):
+    tables.gan_main(["-t", "5"] + BASE)
+    out = capsys.readouterr().out
+    assert "Testing various lengths of contact time in training data" in out
+    # one ft-duration cell for the patched modality + one contact-mic cell
+    assert out.count("Length of training data:") == 2
+
+
+def test_nn_table4_loo_smoke(tiny_grids, capsys):
+    tables.nn_main(["-t", "4"] + BASE)
+    out = capsys.readouterr().out
+    assert "Average leave-one-object-out error:" in out
+
+
 def test_nn_table2_smoke(tiny_grids, capsys):
     tables.nn_main(["-t", "2"] + BASE)
     out = capsys.readouterr().out
