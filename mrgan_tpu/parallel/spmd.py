@@ -130,7 +130,7 @@ def init_cells(key, n_cells, feat_dim, cfg: gan.GanConfig):
     keys = jax.random.split(key, n_cells)
     params = jax.vmap(lambda k: gan.init_params(k, feat_dim, cfg))(keys)
     opt = {
-        "d": jax.vmap(optim.init)(params["disc"]),
-        "g": jax.vmap(optim.init)(params["gen"]),
+        "d": jax.vmap(lambda p: optim.init(p, cfg.opt_dtype))(params["disc"]),
+        "g": jax.vmap(lambda p: optim.init(p, cfg.opt_dtype))(params["gen"]),
     }
     return params, opt

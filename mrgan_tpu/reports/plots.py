@@ -70,27 +70,41 @@ def curves_from_checkpoint(path, table=1):
     }
 
 
-def _line_chart(curves, title, xlabel, ylabel, out_html, y_range=None):
+def _line_chart(curves, title, xlabel, ylabel, out_html, y_range=None,
+                presentation=False):
     """Render with plotly when available (reference output format), else
-    matplotlib (PNG + minimal HTML wrapper)."""
+    matplotlib (PNG + minimal HTML wrapper).
+
+    ``presentation``: the larger-type/thicker-mark styling of
+    others/paperplotly_presentation.py.
+    """
+    fs = {"title": 28 if presentation else 20,
+          "axis": 24 if presentation else 18,
+          "tick": 22 if presentation else 18,
+          "legend": 20 if presentation else 14}
+    lw = 6 if presentation else 4
+    ms = 14 if presentation else 10
     try:
         import plotly
         import plotly.graph_objs as go
 
         data = [
             go.Scatter(x=list(x), y=list(y), name=name,
-                       line=dict(width=4), mode="lines+markers",
-                       marker=dict(size=10))
+                       line=dict(width=lw), mode="lines+markers",
+                       marker=dict(size=ms))
             for name, (x, y) in curves.items()
         ]
         layout = dict(
-            title=title, titlefont=dict(size=20),
-            xaxis=dict(title=xlabel, showgrid=True, titlefont=dict(size=18),
-                       tickfont=dict(size=18)),
-            yaxis=dict(title=ylabel, showgrid=True, titlefont=dict(size=18),
-                       tickfont=dict(size=18),
+            title=title, titlefont=dict(size=fs["title"]),
+            xaxis=dict(title=xlabel, showgrid=True,
+                       titlefont=dict(size=fs["axis"]),
+                       tickfont=dict(size=fs["tick"])),
+            yaxis=dict(title=ylabel, showgrid=True,
+                       titlefont=dict(size=fs["axis"]),
+                       tickfont=dict(size=fs["tick"]),
                        **({"range": y_range} if y_range else {})),
-            width=1200, height=500, legend=dict(font=dict(size=14)),
+            width=1200, height=500,
+            legend=dict(font=dict(size=fs["legend"])),
             showlegend=True,
         )
         plotly.offline.plot({"data": data, "layout": layout},
@@ -104,14 +118,15 @@ def _line_chart(curves, title, xlabel, ylabel, out_html, y_range=None):
 
         fig, ax = plt.subplots(figsize=(12, 5))
         for name, (x, y) in curves.items():
-            ax.plot(x, y, marker="o", linewidth=2, label=name)
-        ax.set_title(title)
-        ax.set_xlabel(xlabel)
-        ax.set_ylabel(ylabel)
+            ax.plot(x, y, marker="o", linewidth=lw / 2, markersize=ms / 2,
+                    label=name)
+        ax.set_title(title, fontsize=fs["title"] * 0.6)
+        ax.set_xlabel(xlabel, fontsize=fs["axis"] * 0.6)
+        ax.set_ylabel(ylabel, fontsize=fs["axis"] * 0.6)
         if y_range:
             ax.set_ylim(y_range)
         ax.grid(True)
-        ax.legend(fontsize=9)
+        ax.legend(fontsize=fs["legend"] * 0.7)
         png = out_html.replace(".html", ".png")
         fig.savefig(png, dpi=120, bbox_inches="tight")
         plt.close(fig)
@@ -121,17 +136,18 @@ def _line_chart(curves, title, xlabel, ylabel, out_html, y_range=None):
         return out_html
 
 
-def plot_table1(out_dir="plots", checkpoint=None):
+def plot_table1(out_dir="plots", checkpoint=None, presentation=False):
     os.makedirs(out_dir, exist_ok=True)
     curves = ({n: (TABLE1_X, v) for n, v in TABLE1.items()}
               if checkpoint is None else curves_from_checkpoint(checkpoint, 1))
+    name = "table1_presentation.html" if presentation else "table1.html"
     return _line_chart(
         curves, "Accuracy with Varying Labeled Training Data",
         "Percent of Training Data Labeled (%)", "Accuracy (%)",
-        os.path.join(out_dir, "table1.html"))
+        os.path.join(out_dir, name), presentation=presentation)
 
 
-def plot_table5(out_dir="plots", checkpoint=None):
+def plot_table5(out_dir="plots", checkpoint=None, presentation=False):
     os.makedirs(out_dir, exist_ok=True)
     if checkpoint is None:
         curves = {
@@ -140,10 +156,12 @@ def plot_table5(out_dir="plots", checkpoint=None):
         }
     else:
         curves = curves_from_checkpoint(checkpoint, 5)
+    name = "table5_presentation.html" if presentation else "table5.html"
     return _line_chart(
         curves, "Accuracy with Varying Duration of Contact",
         "Length of Interaction (s)", "Accuracy (%)",
-        os.path.join(out_dir, "table5.html"), y_range=[50, 100])
+        os.path.join(out_dir, name), y_range=[50, 100],
+        presentation=presentation)
 
 
 def plot_sample_traces(out_dir="plots", forcetemp_time=4, contactmic_time=0.2,

@@ -42,6 +42,15 @@ class GanConfig:
     num_classes: int = 6
     pad_multiple: int = 128        # TPU lane width; 1 disables padding
     track_epoch_metrics: bool = False
+    opt_state_dtype: str = "float32"  # "bfloat16" cuts the HBM-bound Adam
+    #                                   state traffic by a third (optim.init)
+
+    @property
+    def opt_dtype(self):
+        import jax.numpy as _jnp
+
+        return {"float32": _jnp.float32,
+                "bfloat16": _jnp.bfloat16}[self.opt_state_dtype]
 
 
 def pad_dim(d, multiple):
@@ -85,8 +94,8 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
     k_init, k_run = jax.random.split(key)
     params = init_params(k_init, feat_dim, cfg)
-    opt_d = optim.init(params["disc"])
-    opt_g = optim.init(params["gen"])
+    opt_d = optim.init(params["disc"], cfg.opt_dtype)
+    opt_g = optim.init(params["gen"], cfg.opt_dtype)
 
     adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1)
 

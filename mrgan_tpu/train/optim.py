@@ -16,11 +16,17 @@ import jax
 import jax.numpy as jnp
 
 
-def init(params):
-    zeros = jax.tree.map(jnp.zeros_like, params)
+def init(params, state_dtype=None):
+    """Adam state. ``state_dtype`` (e.g. jnp.bfloat16) stores the moment
+    buffers at reduced precision: profiled on v5e the fused GAN step is
+    HBM-bound on optimizer-state streaming, and bf16 moments cut that traffic
+    by a third. Moment math still runs in f32 (cast on load/store)."""
+    def zeros(p):
+        return jnp.zeros(p.shape, state_dtype or p.dtype)
+
     return {
-        "m": zeros,
-        "v": jax.tree.map(jnp.zeros_like, params),
+        "m": jax.tree.map(zeros, params),
+        "v": jax.tree.map(zeros, params),
         "t": jnp.zeros((), jnp.int32),
     }
 
@@ -29,9 +35,20 @@ def update(grads, state, params, lr=6e-4, b1=0.5, b2=0.999, eps=1e-8):
     t = state["t"] + 1
     tf = t.astype(jnp.float32)
     lr_t = lr * jnp.sqrt(1.0 - jnp.power(b2, tf)) / (1.0 - jnp.power(b1, tf))
-    m = jax.tree.map(lambda m_, g: b1 * m_ + (1.0 - b1) * g, state["m"], grads)
-    v = jax.tree.map(lambda v_, g: b2 * v_ + (1.0 - b2) * g * g, state["v"], grads)
+
+    def upd_m(m_, g):
+        return (b1 * m_.astype(jnp.float32)
+                + (1.0 - b1) * g).astype(m_.dtype)
+
+    def upd_v(v_, g):
+        return (b2 * v_.astype(jnp.float32)
+                + (1.0 - b2) * g * g).astype(v_.dtype)
+
+    m = jax.tree.map(upd_m, state["m"], grads)
+    v = jax.tree.map(upd_v, state["v"], grads)
     new_params = jax.tree.map(
-        lambda p, m_, v_: p - lr_t * m_ / (jnp.sqrt(v_) + eps), params, m, v
+        lambda p, m_, v_: p - lr_t * m_.astype(jnp.float32)
+        / (jnp.sqrt(v_.astype(jnp.float32)) + eps),
+        params, m, v,
     )
     return new_params, {"m": m, "v": v, "t": t}

@@ -19,11 +19,14 @@ def main():
                              "published numbers")
     parser.add_argument("--data-dir", default="data_processed")
     parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--presentation", action="store_true",
+                        help="Presentation styling "
+                             "(others/paperplotly_presentation.py)")
     args = parser.parse_args()
 
     made = [
-        plots.plot_table1(args.out_dir, args.checkpoint),
-        plots.plot_table5(args.out_dir, args.checkpoint),
+        plots.plot_table1(args.out_dir, args.checkpoint, args.presentation),
+        plots.plot_table5(args.out_dir, args.checkpoint, args.presentation),
     ]
     made += plots.plot_sample_traces(
         args.out_dir, data_dir=args.data_dir,
