@@ -176,3 +176,52 @@ def logmel(
     if flatten:
         return out.reshape(out.shape[0], -1)
     return out
+
+
+def logmel_sharded(audio, mesh, axis="data", sr=48000, n_fft=2048,
+                   hop_length=512, n_mels=128):
+    """Frame-block sequence parallelism for the mel frontend (SURVEY.md
+    §2.3's honest CP analog): STFT frames are independent given the center
+    padding, so each device computes a contiguous block of frames of EVERY
+    example — arbitrarily long contact windows stream through per-chip
+    VMEM/HBM — and only the per-example ref-max/peak reductions cross shards
+    (two pmax collectives on (B,) vectors).
+
+    audio: (B, N); the frame count T = 1 + N//hop must be divisible by the
+    mesh axis size (pad N if needed). Returns (B, n_mels, T).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    cw, sw, melw = _dft_mel_bases(sr, n_fft, n_mels, jnp.float32)
+    n_sh = mesh.shape[axis]
+    t = num_frames(audio.shape[-1], hop_length)
+    assert t % n_sh == 0, (
+        f"frame count {t} not divisible by mesh axis {axis}={n_sh}; pad the "
+        f"audio length")
+    tb = t // n_sh
+    pad = n_fft // 2
+    padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)),
+                     mode="reflect")
+
+    def local(a):
+        i = jax.lax.axis_index(axis)
+        # frames [i*tb, (i+1)*tb) of every example, gathered from the
+        # replicated padded audio
+        starts = (i * tb + jnp.arange(tb)) * hop_length
+        idx = starts[:, None] + jnp.arange(n_fft)[None, :]
+        frames = a[:, idx]  # (B, tb, n_fft)
+        hi = jax.lax.Precision.HIGHEST
+        re = jnp.einsum("btn,nk->btk", frames, cw, precision=hi)
+        im = jnp.einsum("btn,nk->btk", frames, sw, precision=hi)
+        mel = jnp.einsum("btk,km->btm", re * re + im * im, melw, precision=hi)
+        # global per-example ref across frame blocks
+        ref = jax.lax.pmax(jnp.max(mel, axis=(1, 2)), axis)[:, None, None]
+        log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, mel))
+        log_spec = log_spec - 10.0 * jnp.log10(jnp.maximum(_AMIN, ref))
+        peak = jax.lax.pmax(jnp.max(log_spec, axis=(1, 2)), axis)[:, None, None]
+        log_spec = jnp.maximum(log_spec, peak - _TOP_DB)
+        return jnp.swapaxes(log_spec, 1, 2)  # (B, n_mels, tb)
+
+    fn = jax.shard_map(local, mesh=mesh, in_specs=P(),
+                       out_specs=P(None, None, axis))
+    return jax.jit(fn)(padded)
