@@ -181,3 +181,25 @@ def test_process_lumini_dataset_filters():
         exposure=100)
     assert y == [0, 1]
     assert X[0] == [1.0] * 6  # corrected half
+
+
+def test_load_lumini_dataset_files(tmp_path):
+    """File-layout parsing (util.py:4-26): material/object dirs, original +
+    sensitivity-corrected blocks split by a marker line."""
+    base = tmp_path / "lumini"
+    for material, obj in (("wood", "oak"), ("metal", "steel")):
+        d = base / material / obj
+        d.mkdir(parents=True)
+        lines = ["header"]
+        lines += [f"{300 + 10 * i}\t{1.0 + i}" for i in range(4)]
+        lines += ["sensitivity corrected"]
+        lines += [f"{300 + 10 * i}\t{2.0 + i}" for i in range(4)]
+        (d / f"scan_1_100.txt").write_text("\n".join(lines))
+
+    data, wavelengths = spectrometer.load_lumini_dataset(str(base))
+    assert len(data) == 2
+    np.testing.assert_allclose(wavelengths, [300, 310, 320, 330])
+    row = next(r for r in data if r[0] == "wood")
+    assert row[1] == "oak" and row[2] == 100
+    assert row[3:7] == [1.0, 2.0, 3.0, 4.0]      # original
+    assert row[7:] == [2.0, 3.0, 4.0, 5.0]       # corrected
