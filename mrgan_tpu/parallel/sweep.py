@@ -8,7 +8,7 @@ XLA partitions the vmapped program with zero collectives — linear scaling
 across chips, the >20x wall-clock win of SURVEY.md §2.3.
 """
 
-from functools import lru_cache, partial
+from functools import lru_cache
 
 import numpy as np
 import jax
