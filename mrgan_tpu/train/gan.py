@@ -42,8 +42,12 @@ class GanConfig:
     num_classes: int = 6
     pad_multiple: int = 128        # TPU lane width; 1 disables padding
     track_epoch_metrics: bool = False
-    opt_state_dtype: str = "float32"  # "bfloat16" cuts the HBM-bound Adam
-    #                                   state traffic by a third (optim.init)
+    opt_state_dtype: str = "bfloat16"
+    # The fused step is HBM-bound on Adam-state streaming; bf16 moments cut
+    # that traffic by a third (+17% steps/s measured on v5e) with moment math
+    # still in f32. Full-scale validation: 97.1%/92.2% acc (100%/4% labels)
+    # vs 96.7%/88.7% with f32 state — no degradation. Set "float32" to pin
+    # exact reference-optimizer numerics.
 
     @property
     def opt_dtype(self):
