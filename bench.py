@@ -29,6 +29,9 @@ def main():
     import jax
 
     from mrgan_tpu.train import gan, protocol
+    from mrgan_tpu.utils import compile_cache
+
+    compile_cache.enable()
 
     folds = 6
     n = 7200

@@ -51,6 +51,9 @@ class Ctx:
     """Shared driver context: dataset access, checkpoint, metrics, mesh."""
 
     def __init__(self, args, model_name):
+        from ..utils import compile_cache
+
+        compile_cache.enable()
         self.args = args
         self.model = model_name
         self.ckpt = ckpt_lib.SweepCheckpoint(args.checkpoint)
