@@ -1,7 +1,11 @@
-"""Cross-cutting utilities: sweep checkpointing, metric streams, profiling.
+"""Cross-cutting utilities (SURVEY.md §5 — the reference has none of these):
 
-The reference has none of these (SURVEY.md §5): a crash loses the whole
-multi-hour sweep, metrics are prints, and profiling is time.time() deltas.
+- ``checkpoint``     preemption-safe sweep-cell store (JSONL, resume skips)
+- ``metrics``        structured metric stream + reference-format stdout
+- ``profiling``      jax.profiler trace/annotation helpers, steps/sec meter
+- ``params_io``      orbax parameter snapshots (pickle fallback)
+- ``rng``            PRNG key construction (rbg default — 2x faster draws)
+- ``compile_cache``  persistent XLA compilation cache across processes
 """
 
-from . import checkpoint, metrics  # noqa: F401
+from . import checkpoint, compile_cache, metrics, params_io, profiling, rng  # noqa: F401

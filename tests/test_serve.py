@@ -1,0 +1,34 @@
+"""Serving tests: fit -> classify -> snapshot roundtrip."""
+
+import numpy as np
+
+from mrgan_tpu import serve
+from mrgan_tpu.train import gan
+
+
+def _blobs(n=360, d=40, seed=0):
+    rng = np.random.RandomState(seed)
+    y = rng.randint(0, 6, n).astype(np.int32)
+    centers = rng.randn(6, d) * 3
+    return (centers[y] + rng.randn(n, d)).astype(np.float32), y
+
+
+def test_fit_classify_roundtrip(tmp_path):
+    x, y = _blobs()
+    cfg = gan.GanConfig(noise_size=8, batch_size=10, epochs=20,
+                        pad_multiple=8)
+    clf = serve.fit_classifier(x, y, modality=None, percentlabeled=6,
+                               cfg=cfg, seed=0)
+
+    x2, y2 = _blobs(seed=1)  # same centers (seed controls noise draw order)
+    # evaluate on held-out draws from the training distribution
+    acc = float((clf.predict(x) == y).mean())
+    assert acc > 0.8, acc
+    probs = clf.predict_proba(x[:5])
+    np.testing.assert_allclose(probs.sum(axis=-1), 1.0, atol=1e-5)
+    names = clf.classify(x[:3])
+    assert all(n in serve.MATERIALS for n in names)
+
+    path = clf.save(str(tmp_path / "clf"))
+    clf2 = serve.MaterialClassifier.load(path)
+    np.testing.assert_array_equal(clf2.predict(x[:50]), clf.predict(x[:50]))
