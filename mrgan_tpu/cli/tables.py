@@ -82,11 +82,19 @@ class Ctx:
 
     def cell(self, fn, **key):
         """Checkpoint-gated cell execution. fn() -> list of errors."""
+        import time
+
+        from ..utils import profiling
+
         cached = self.ckpt.get(model=self.model, **key)
         if cached is not None:
             return np.asarray(cached)
-        errors = [float(e) for e in fn()]
-        self.ms.emit("cell", model=self.model, **key, errors=errors)
+        label = "cell:" + ",".join(f"{k}={v}" for k, v in sorted(key.items()))
+        t0 = time.perf_counter()
+        with profiling.annotate(label):
+            errors = [float(e) for e in fn()]
+        self.ms.emit("cell", model=self.model, **key, errors=errors,
+                     wall_s=round(time.perf_counter() - t0, 3))
         self.ckpt.record(errors, model=self.model, **key)
         return np.asarray(errors)
 
