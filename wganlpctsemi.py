@@ -67,7 +67,8 @@ def main():
         description="Semi-supervised learning with GANs for material "
                     "recognition on haptic data.")
     parser.add_argument("-t", "--test", nargs="+", required=True,
-                        help="Which test? (0) K-fold CV grid search")
+                        help="Which test? (0) K-fold CV, (1) Generalizing to "
+                             "many new objects, (2) Leave-one-object-out")
     parser.add_argument("-a", "--algorithm", nargs="+", required=True,
                         help="svm, nn, lstm, rf, gan, iwgan, iwganlstm")
     parser.add_argument("-v", "--verbose", action="store_true")
@@ -83,11 +84,13 @@ def main():
 
     from mrgan_tpu.data import mreo
 
-    x, y = mreo.load_features(
+    load_kw = dict(
         modalities=2,
         synthetic_seed=0 if args.synthetic else None,
         synthetic_kwargs={"pokes_per_object": args.synthetic_pokes},
     )
+    if set(args.test) & {"0"}:
+        x, y = mreo.load_features(**load_kw)
 
     t = time.time()
     if "0" in args.test:
@@ -143,6 +146,62 @@ def main():
             print("Percent labeled:", fraction)
             print("Best score:", best_scores[i])
             print("Best parameters:", best_parameter_sets[i])
+    if set(args.test) & {"1", "2"}:
+        # The reference runs these on the SCiO/Lumini spectrometer datasets
+        # with hardcoded object lists (wganlpctsemi.py:600-796) and a
+        # loadScioDataset that its own checkout does not ship; here the same
+        # protocols run on the haptic dataset's object structure.
+        objects = mreo.load_features(leave_object_out=True, **load_kw)
+        by_material = {}
+        for name, data in objects.items():
+            by_material.setdefault(int(data["y"][0]), []).append(name)
+
+        def xy(names):
+            xs = np.concatenate([np.asarray(objects[n]["x"]) for n in names])
+            ys = np.concatenate([np.asarray(objects[n]["y"]) for n in names])
+            return xs, ys
+
+        if "1" in args.test:
+            # k-fold over objects: train on nto objects/material, test on rest
+            for nto in [5, 2, 1]:
+                nfolds = min(len(v) for v in by_material.values()) // nto
+                for fraction in args.percents:
+                    accuracies = []
+                    for n in range(nfolds):
+                        train_names, test_names = [], []
+                        for objs in by_material.values():
+                            sel = objs[n * nto : (n + 1) * nto]
+                            train_names += sel
+                            test_names += [o for o in objs if o not in sel]
+                        x_tr, y_tr = xy(train_names)
+                        x_te, y_te = xy(test_names)
+                        acc = run_fold(algorithm, x_tr, y_tr, x_te, y_te,
+                                       fraction, 0, "scale", 1, args.verbose)
+                        accuracies.append(acc)
+                        print("Test accuracy:", acc)
+                        sys.stdout.flush()
+                    print("Train objects per material:", nto,
+                          "Percent labeled:", fraction,
+                          "Average accuracy:", float(np.mean(accuracies)))
+                    sys.stdout.flush()
+
+        if "2" in args.test:
+            for fraction in args.percents:
+                accuracies = []
+                for name in objects:
+                    test_names = [name]
+                    train_names = [o for o in objects if o != name]
+                    x_tr, y_tr = xy(train_names)
+                    x_te, y_te = xy(test_names)
+                    acc = run_fold(algorithm, x_tr, y_tr, x_te, y_te,
+                                   fraction, 0, "scale", 1, args.verbose)
+                    accuracies.append(acc)
+                    print(name, "Test accuracy:", acc)
+                    sys.stdout.flush()
+                print("Percent labeled:", fraction,
+                      "Average leave-one-object-out accuracy:",
+                      float(np.mean(accuracies)))
+
     print("Total time:", time.time() - t, "s")
 
 
