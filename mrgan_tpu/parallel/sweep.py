@@ -76,7 +76,7 @@ def train_gan_work(keys, x_labeled, y_labeled, pool, x_test, y_test, n_train,
 
 
 @lru_cache(maxsize=64)
-def _sharded_indexed_gan_trainer(shapes, valid_dim, cfg, mesh):
+def _sharded_indexed_gan_trainer(shapes, valid_dim, cfg, mesh, n_pool_valid):
     """Indexed variant: X/y replicated across the mesh (one upload), index
     vectors sharded over the cell axis — per-cell traffic is a few KB."""
     sh = mesh_lib.cell_sharding(mesh)
@@ -85,7 +85,7 @@ def _sharded_indexed_gan_trainer(shapes, valid_dim, cfg, mesh):
     def one(key, X, y, lab_idx, pool_idx, train_idx, test_idx):
         err, _ = gan._train_one_indexed(
             key, X, y, lab_idx, pool_idx, train_idx, test_idx,
-            valid_dim=valid_dim, cfg=cfg,
+            valid_dim=valid_dim, cfg=cfg, n_pool_valid=n_pool_valid,
         )
         return err
 
@@ -104,13 +104,16 @@ def train_gan_work_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
         mesh = mesh_lib.make_mesh()
     if valid_dim is None:
         valid_dim = X.shape[-1]
+    pool_idx, n_pool_valid = gan.pad_pool_indices(np.asarray(pool_idx),
+                                                  np.asarray(train_idx))
     w = keys.shape[0]
     w_pad = mesh_lib.pad_to_multiple(w, mesh.shape["cell"])
     idx_args = _pad_work_axis([keys, lab_idx, pool_idx, train_idx, test_idx],
                               w_pad)
     shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
               test_idx.shape[-1])
-    fn = _sharded_indexed_gan_trainer(shapes, int(valid_dim), cfg, mesh)
+    fn = _sharded_indexed_gan_trainer(shapes, int(valid_dim), cfg, mesh,
+                                      n_pool_valid)
     errs = fn(idx_args[0], X, y, *idx_args[1:])
     return np.asarray(errs)[:w]
 

@@ -87,11 +87,16 @@ def _masks(feat_dim, valid_dim):
 
 
 def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
-               *, n_train, valid_dim, cfg: GanConfig):
-    """Train a single GAN cell end-to-end; returns (test_error, metrics)."""
+               *, n_train, valid_dim, cfg: GanConfig, n_pool_valid=None):
+    """Train a single GAN cell end-to-end; returns (test_error, metrics).
+
+    ``n_pool_valid``: when the pool array is padded to a uniform row count
+    (see _train_one_indexed), only its first n_pool_valid rows are real; the
+    batch schedule samples exclusively from them.
+    """
     feat_dim = x_labeled.shape[-1]
     n_lab = x_labeled.shape[0]
-    n_pool = pool.shape[0]
+    n_pool = n_pool_valid if n_pool_valid is not None else pool.shape[0]
     bs = cfg.batch_size
     nb = n_train // bs
     mask = _masks(feat_dim, valid_dim)
@@ -189,7 +194,7 @@ def scale_stats(x_train):
 
 
 def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,
-                       *, valid_dim, cfg: GanConfig):
+                       *, valid_dim, cfg: GanConfig, n_pool_valid=None):
     """Device-side fold prep + training: the whole cell reads only the
     HBM-resident dataset X plus tiny index vectors.
 
@@ -212,19 +217,39 @@ def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,
         scale(X[pool_idx]),
         scale(X[test_idx]), y[test_idx],
         n_train=train_idx.shape[0], valid_dim=valid_dim, cfg=cfg,
+        n_pool_valid=n_pool_valid,
     )
 
 
 @lru_cache(maxsize=64)
-def _compiled_indexed_trainer(shapes, valid_dim, cfg):
+def _compiled_indexed_trainer(shapes, valid_dim, cfg, n_pool_valid):
     """jit(vmap(train_one_indexed)); X and y broadcast across the fold axis."""
 
     def one(key, X, y, lab_idx, pool_idx, train_idx, test_idx):
         err, _ = _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx,
-                                    test_idx, valid_dim=valid_dim, cfg=cfg)
+                                    test_idx, valid_dim=valid_dim, cfg=cfg,
+                                    n_pool_valid=n_pool_valid)
         return err
 
     return jax.jit(jax.vmap(one, in_axes=(0, None, None, 0, 0, 0, 0)))
+
+
+def pad_pool_indices(pool_idx, train_idx):
+    """Pad the unlabeled-pool index array to the train width.
+
+    Uniform pool shapes mean every unlabeled-grid cell shares one compiled
+    program, and they dodge an observed Mosaic/TPU codegen fault on certain
+    intermediate gather row counts (2160/2176/2304 rows crashed the worker;
+    the n_train shape is the production-proven path). Padding rows repeat
+    index 0 and are never sampled (n_pool_valid bounds the schedule).
+    Returns (padded_pool_idx, n_pool_valid or None).
+    """
+    n_pool = pool_idx.shape[-1]
+    n_train = train_idx.shape[-1]
+    if n_pool >= n_train:
+        return pool_idx, None
+    pad = np.repeat(pool_idx[..., :1], n_train - n_pool, axis=-1)
+    return np.concatenate([pool_idx, pad], axis=-1), n_pool
 
 
 def train_folds_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
@@ -239,9 +264,11 @@ def train_folds_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
     """
     if valid_dim is None:
         valid_dim = X.shape[-1]
+    pool_idx, n_pool_valid = pad_pool_indices(np.asarray(pool_idx),
+                                              np.asarray(train_idx))
     shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
               test_idx.shape[-1])
-    fn = _compiled_indexed_trainer(shapes, int(valid_dim), cfg)
+    fn = _compiled_indexed_trainer(shapes, int(valid_dim), cfg, n_pool_valid)
     return fn(keys, X, y, lab_idx, pool_idx, train_idx, test_idx)
 
 
