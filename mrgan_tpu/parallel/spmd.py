@@ -38,7 +38,8 @@ def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
         key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     k_z1, k_z2, k_d, k_g = jax.random.split(key, 4)
 
-    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1)
+    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1,
+                   stride=2 if cfg.shared_adam_step else 1)
 
     def disc_fwd(pd_, x, k):
         return nets.discriminator_apply(pd_, x, k, train=True, in_mask=mask)
@@ -129,8 +130,10 @@ def init_cells(key, n_cells, feat_dim, cfg: gan.GanConfig):
     """Stacked per-cell params + Adam states (leading cell axis)."""
     keys = jax.random.split(key, n_cells)
     params = jax.vmap(lambda k: gan.init_params(k, feat_dim, cfg))(keys)
+    t0_d = -1 if cfg.shared_adam_step else 0
     opt = {
-        "d": jax.vmap(lambda p: optim.init(p, cfg.opt_dtype))(params["disc"]),
+        "d": jax.vmap(lambda p: optim.init(p, cfg.opt_dtype, t0=t0_d))(
+            params["disc"]),
         "g": jax.vmap(lambda p: optim.init(p, cfg.opt_dtype))(params["gen"]),
     }
     return params, opt

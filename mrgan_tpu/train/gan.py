@@ -48,6 +48,11 @@ class GanConfig:
     # still in f32. Full-scale validation: 97.1%/92.2% acc (100%/4% labels)
     # vs 96.7%/88.7% with f32 state — no degradation. Set "float32" to pin
     # exact reference-optimizer numerics.
+    shared_adam_step: bool = True
+    # The reference shares one Keras Adam across disc+gen updates
+    # (mr_gan.py:165-167): its iteration counter advances by 2 per batch, so
+    # bias correction sees t = 1,3,5,... (disc) / 2,4,6,... (gen). True pins
+    # that semantic (a SURVEY §7 "small semantic trap").
 
     @property
     def opt_dtype(self):
@@ -103,10 +108,12 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
     k_init, k_run = jax.random.split(key)
     params = init_params(k_init, feat_dim, cfg)
-    opt_d = optim.init(params["disc"], cfg.opt_dtype)
+    stride = 2 if cfg.shared_adam_step else 1
+    opt_d = optim.init(params["disc"], cfg.opt_dtype,
+                       t0=-1 if cfg.shared_adam_step else 0)
     opt_g = optim.init(params["gen"], cfg.opt_dtype)
 
-    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1)
+    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1, stride=stride)
 
     def disc_fwd(pd, x, k):
         return nets.discriminator_apply(pd, x, k, train=True, in_mask=mask)

@@ -16,23 +16,31 @@ import jax
 import jax.numpy as jnp
 
 
-def init(params, state_dtype=None):
+def init(params, state_dtype=None, t0=0):
     """Adam state. ``state_dtype`` (e.g. jnp.bfloat16) stores the moment
     buffers at reduced precision: profiled on v5e the fused GAN step is
     HBM-bound on optimizer-state streaming, and bf16 moments cut that traffic
-    by a third. Moment math still runs in f32 (cast on load/store)."""
+    by a third. Moment math still runs in f32 (cast on load/store).
+
+    ``t0``/``stride`` (in ``update``) reproduce the reference's SHARED Adam
+    instance: one Keras optimizer serves both the discriminator and generator
+    updates (mr_gan.py:165-167), so its `iterations` counter advances by 2
+    per batch — the disc update runs bias correction at t = 1, 3, 5, ... and
+    the gen update at t = 2, 4, 6, ... Use init(t0=-1)/update(stride=2) for
+    the disc and init(t0=0)/update(stride=2) for the gen."""
     def zeros(p):
         return jnp.zeros(p.shape, state_dtype or p.dtype)
 
     return {
         "m": jax.tree.map(zeros, params),
         "v": jax.tree.map(zeros, params),
-        "t": jnp.zeros((), jnp.int32),
+        "t": jnp.asarray(t0, jnp.int32),
     }
 
 
-def update(grads, state, params, lr=6e-4, b1=0.5, b2=0.999, eps=1e-8):
-    t = state["t"] + 1
+def update(grads, state, params, lr=6e-4, b1=0.5, b2=0.999, eps=1e-8,
+           stride=1):
+    t = state["t"] + stride
     tf = t.astype(jnp.float32)
     lr_t = lr * jnp.sqrt(1.0 - jnp.power(b2, tf)) / (1.0 - jnp.power(b1, tf))
 

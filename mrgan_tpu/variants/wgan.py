@@ -87,9 +87,12 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test, *, n_train,
 
     k_init, k_run = jax.random.split(key)
     params = init_params(k_init, feat_dim, cfg)
-    opt_d = optim.init(params["disc"])
+    # shared Keras Adam instance semantics (wganlpctsemi.py:414-416):
+    # iteration counter advances once per disc AND once per gen update
+    opt_d = optim.init(params["disc"], t0=-1)
     opt_g = optim.init(params["gen"])
-    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1, b2=cfg.beta2)
+    adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1, b2=cfg.beta2,
+                   stride=2)
 
     if cfg.arch == "lstm":
         # biLSTM disc (wganlpctsemi.py:306-318): features as a scalar
