@@ -32,3 +32,23 @@ def test_fit_classify_roundtrip(tmp_path):
     path = clf.save(str(tmp_path / "clf"))
     clf2 = serve.MaterialClassifier.load(path)
     np.testing.assert_array_equal(clf2.predict(x[:50]), clf.predict(x[:50]))
+
+
+def test_classify_pokes_through_frontend():
+    """Raw resampled windows -> ops.features frontend -> classifier."""
+    rng = np.random.RandomState(0)
+    n, ft_len = 240, 50
+    y = rng.randint(0, 6, n).astype(np.int32)
+    centers = rng.randn(6, 2 * ft_len) * 3
+    force = centers[y] + rng.randn(n, 2 * ft_len).astype(np.float32)
+    force0, force1 = force[:, :ft_len], force[:, ft_len:]
+
+    from mrgan_tpu.ops import features as feat_ops
+
+    x = np.asarray(feat_ops.assemble(0, force0=force0, force1=force1))
+    cfg = gan.GanConfig(noise_size=8, batch_size=10, epochs=15, pad_multiple=8)
+    clf = serve.fit_classifier(x, y, modality=0, percentlabeled=4, cfg=cfg)
+    names = clf.classify_pokes(force0=force0[:10], force1=force1[:10])
+    assert len(names) == 10
+    acc = float((clf.predict(x) == y).mean())
+    assert acc > 0.7, acc
