@@ -44,6 +44,9 @@ def build_parser(description):
     parser.add_argument("--metrics", default=None, help="JSONL metric stream")
     parser.add_argument("--no-mesh", action="store_true",
                         help="Disable multi-device sharding")
+    parser.add_argument("--modalities", type=int, nargs="+", default=None,
+                        help="Subset of modality indices for the sweeps "
+                             "(default: each table's reference grid)")
     return parser
 
 
@@ -106,7 +109,7 @@ class Ctx:
 def gan_table1(ctx):
     cfg = gan.GanConfig(epochs=ctx.args.epochs)
     M.header("Testing various amounts of labeled training data")
-    for modality in T1_MODALITIES:
+    for modality in (ctx.args.modalities or T1_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         x, y = ctx.dataset(modalities=modality)
         ds = protocol.DeviceDataset(x, y, cfg.pad_multiple, mesh=ctx.mesh)
