@@ -130,7 +130,7 @@ def gan_table1(ctx):
 def gan_table3(ctx):
     cfg = gan.GanConfig(epochs=ctx.args.epochs)
     M.header("Testing generalization with leave-one-object-out validation")
-    for modality in PAIR_MODALITIES:
+    for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         objects = ctx.dataset(modalities=modality, leave_object_out=True)
         for percent in PERCENTS_LOO:
@@ -150,7 +150,7 @@ def gan_table3(ctx):
 def gan_table5(ctx):
     cfg = gan.GanConfig(epochs=ctx.args.epochs)
     M.header("Testing various lengths of contact time in training data")
-    for modality in T5_FT_MODALITIES:
+    for modality in (ctx.args.modalities or T5_FT_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         for ft_time in FT_TIMES:
             M.subheader("Length of training data: %.1fs" % ft_time)
@@ -184,7 +184,7 @@ def gan_table5(ctx):
 def gan_table6(ctx):
     cfg = gan.GanConfig(epochs=ctx.args.epochs)
     M.header("Testing performance as quantity of unlabeled data increases")
-    for modality in PAIR_MODALITIES:
+    for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         x, y = ctx.dataset(modalities=modality)
         ds = protocol.DeviceDataset(x, y, cfg.pad_multiple, mesh=ctx.mesh)
@@ -235,7 +235,7 @@ def gan_main(argv=None):
 
 def _baseline_table2(ctx, run_cell):
     M.header("Testing various amounts of labeled training data")
-    for modality in PAIR_MODALITIES:
+    for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         x, y = ctx.dataset(modalities=modality)
         for percent in PERCENTS_KFOLD:
@@ -250,7 +250,7 @@ def _baseline_table2(ctx, run_cell):
 
 def _baseline_table4(ctx, run_loo):
     M.header("Testing generalization with leave-one-object-out validation")
-    for modality in PAIR_MODALITIES:
+    for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         objects = ctx.dataset(modalities=modality, leave_object_out=True)
         for percent in PERCENTS_LOO:
