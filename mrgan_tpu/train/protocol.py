@@ -176,11 +176,9 @@ def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
 
 def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
     """Stack per-fold index tuples and train fused against ds.X."""
-    import jax
-
-    lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
     from ..utils import rng as rng_util
 
+    lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
     keys = rng_util.make_keys(rng.randint(2**31 - 1), len(idx))
     if mesh is not None and mesh.shape.get("cell", 1) > 1:
         from ..parallel import sweep
@@ -197,14 +195,12 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
 def run_prepared_folds(folds, cfg, rng, mesh=None):
     """Pad, stack and train a list of prepared folds as one fused program,
     sharded over the mesh's cell axis when a multi-device mesh is given."""
-    import jax
+    from ..utils import rng as rng_util
 
     stacked = stack_folds(folds)
     valid_dim = stacked["x_labeled"].shape[-1]
     for k in ("x_labeled", "pool", "x_test"):
         stacked[k], _ = gan.pad_features(stacked[k], cfg.pad_multiple)
-    from ..utils import rng as rng_util
-
     keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
     args = (
         keys,
