@@ -83,3 +83,40 @@ def test_indexed_loo_runner():
     assert errs.shape == (18,)
     assert seen == names
     assert np.all((errs >= 0) & (errs <= 1))
+
+
+def test_pool_padding_is_semantically_inert():
+    """The TPU-fault workaround (pad pool indices to train width with a
+    static n_pool_valid) must not change the math: padded and unpadded
+    programs produce identical errors for the same keys."""
+    rng0 = np.random.RandomState(8)
+    y = np.tile(np.arange(6, dtype=np.int32), 60)  # balanced classes
+    centers = rng0.randn(6, 30) * 3
+    x = (centers[y] + rng0.randn(360, 30)).astype(np.float32)
+    cfg = gan.GanConfig(noise_size=8, batch_size=10, epochs=3)
+    ds = protocol.DeviceDataset(x, y, cfg.pad_multiple)
+    rng = np.random.RandomState(1)
+    splits = protocol.stratified_splits(y, n_splits=3, seed=1)
+    idx = [
+        protocol.fold_indices(ds.y_host, tr, te, 1, 2, 6, rng)  # subset pool
+        for tr, te in splits
+    ]
+    lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
+    assert pool.shape[-1] < train.shape[-1]
+    keys = jax.random.split(jax.random.PRNGKey(4), 3)
+
+    # production path (pads internally)
+    got = np.asarray(gan.train_folds_indexed(
+        keys, ds.X, ds.y, lab, pool, train, test,
+        valid_dim=ds.valid_dim, cfg=cfg))
+
+    # direct unpadded program
+    def one(key, lab_i, pool_i, train_i, test_i):
+        err, _ = gan._train_one_indexed(
+            key, ds.X, ds.y, lab_i, pool_i, train_i, test_i,
+            valid_dim=ds.valid_dim, cfg=cfg)
+        return err
+
+    want = np.asarray(jax.jit(jax.vmap(one, in_axes=(0, 0, 0, 0, 0)))(
+        keys, lab, pool, train, test))
+    np.testing.assert_allclose(got, want, atol=1e-6)
