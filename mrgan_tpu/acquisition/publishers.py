@@ -23,6 +23,38 @@ from . import serialdev
 from .bus import BusClient
 
 
+def main(argv=None):
+    """Run one publisher as a standalone OS process (the reference runs
+    temperaturepublisher.py / contactmicpublisher.py as separate ROS nodes):
+
+        python -m mrgan_tpu.acquisition.publishers \
+            --role temperature --bus-host 127.0.0.1 --bus-port 5555
+    """
+    import argparse
+
+    from .bus import SimClock
+
+    parser = argparse.ArgumentParser(description="Sensor publisher node.")
+    parser.add_argument("--role", choices=("temperature", "contactmic"),
+                        required=True)
+    parser.add_argument("--bus-host", default="127.0.0.1")
+    parser.add_argument("--bus-port", type=int, required=True)
+    parser.add_argument("--timescale", type=float, default=1.0)
+    parser.add_argument("--rate", type=float, default=4000.0,
+                        help="contact-mic sample rate (sim Hz)")
+    args = parser.parse_args(argv)
+
+    clock = SimClock(args.timescale)
+    address = (args.bus_host, args.bus_port)
+    if args.role == "temperature":
+        node = TemperaturePublisher(address, clock, timescale=args.timescale)
+    else:
+        node = ContactMicPublisher(address, clock, timescale=args.timescale,
+                                   rate=args.rate)
+    node.start()
+    node.join()
+
+
 class PublisherBase(threading.Thread):
     def __init__(self, bus_address, clock, dev):
         super().__init__(daemon=True)
@@ -147,3 +179,7 @@ class ContactMicPublisher(PublisherBase):
                     self.client.publish("/semihaptics/contactmic", flat)
                     data, times = [], []
                 self.clock.sleep(0.0001)
+
+
+if __name__ == "__main__":
+    main()
