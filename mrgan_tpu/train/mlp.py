@@ -85,7 +85,7 @@ def train_folds(keys, x_lab, y_lab, x_test, y_test, valid_dim=None,
 
 
 def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
-                mesh=None, chunk=24):
+                mesh=None, chunk=6):
     """Leave-one-object-out MLP protocol (mr_nn.py:148-168): the 72 splits
     share static shapes, so they stack on a work axis and train fused (and
     mesh-sharded when a multi-device mesh is given), in chunks."""

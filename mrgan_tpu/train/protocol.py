@@ -253,8 +253,11 @@ def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
 
     if chunk is None:
         n_dev = mesh.shape["cell"] if mesh is not None else 1
-        # ~12 work items per device keeps the 7100-row gathered pools in HBM
-        chunk = min(len(names), 12 * n_dev)
+        # 6 work items per device: fits the 7100-row gathered pools in HBM
+        # and matches the k-fold-proven vmap width — wider launches (12) of
+        # the 100-epoch program crashed the remote TPU worker (probed:
+        # width 12 x epochs 100 fails, width 6 x 100 and 12 x 1 succeed).
+        chunk = min(len(names), 6 * n_dev)
     errors = []
     for s in range(0, len(names), chunk):
         block = list(range(s, min(s + chunk, len(names))))
