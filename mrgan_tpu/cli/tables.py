@@ -94,8 +94,18 @@ class Ctx:
             return np.asarray(cached)
         label = "cell:" + ",".join(f"{k}={v}" for k, v in sorted(key.items()))
         t0 = time.perf_counter()
-        with profiling.annotate(label):
-            errors = [float(e) for e in fn()]
+        try:
+            with profiling.annotate(label):
+                errors = [float(e) for e in fn()]
+        except Exception as e:  # noqa: BLE001 — keep the sweep alive
+            # A failing cell (e.g. a backend fault) must not lose the rest of
+            # the sweep; record the failure and move on. Re-running the same
+            # command retries only the failed cells (checkpoint skips done
+            # ones). The reference loses its whole multi-hour run here.
+            M.p(f"[cell failed: {label}: {type(e).__name__}: {e}]")
+            self.ms.emit("cell_failed", model=self.model, **key,
+                         error=f"{type(e).__name__}: {e}")
+            return np.asarray([float("nan")])
         self.ms.emit("cell", model=self.model, **key, errors=errors,
                      wall_s=round(time.perf_counter() - t0, 3))
         self.ckpt.record(errors, model=self.model, **key)
