@@ -47,6 +47,10 @@ def build_parser(description):
     parser.add_argument("--modalities", type=int, nargs="+", default=None,
                         help="Subset of modality indices for the sweeps "
                              "(default: each table's reference grid)")
+    parser.add_argument("--pad-min", type=int, default=1280,
+                        help="Bucket narrow feature widths up to this proven-"
+                             "safe padded width in the duration sweep "
+                             "(table 5); 0 disables")
     return parser
 
 
@@ -158,7 +162,11 @@ def gan_table3(ctx):
 
 
 def gan_table5(ctx):
-    cfg = gan.GanConfig(epochs=ctx.args.epochs)
+    # The duration grid produces narrow feature widths (down to 10 columns);
+    # some narrow padded widths (observed: 640) hit a deterministic TPU
+    # backend fault in the fused trainer, so bucket every cell up to the
+    # proven 1280-class width (inert padding; see gan.pad_features).
+    cfg = gan.GanConfig(epochs=ctx.args.epochs, pad_min=ctx.args.pad_min)
     M.header("Testing various lengths of contact time in training data")
     for modality in (ctx.args.modalities or T5_FT_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])

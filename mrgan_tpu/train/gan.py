@@ -41,6 +41,8 @@ class GanConfig:
     beta1: float = 0.5
     num_classes: int = 6
     pad_multiple: int = 128        # TPU lane width; 1 disables padding
+    pad_min: int = 0               # bucket feature width up to a proven-safe
+                                   # minimum (see pad_features); 0 disables
     track_epoch_metrics: bool = False
     opt_state_dtype: str = "bfloat16"
     # The fused step is HBM-bound on Adam-state streaming; bf16 moments cut
@@ -62,14 +64,24 @@ class GanConfig:
                 "bfloat16": _jnp.bfloat16}[self.opt_state_dtype]
 
 
-def pad_dim(d, multiple):
-    return -(-d // multiple) * multiple
+def pad_dim(d, multiple, min_dim=0):
+    return max(-(-d // multiple) * multiple, min_dim)
 
 
-def pad_features(x, multiple=128):
-    """Zero-pad feature columns to a lane-aligned width. Returns (x_pad, D)."""
+def pad_features(x, multiple=128, min_dim=0):
+    """Zero-pad feature columns to a lane-aligned width >= min_dim.
+    Returns (x_pad, D).
+
+    ``min_dim`` buckets narrow feature matrices up to a proven-safe width:
+    certain narrow widths (observed: 640) trigger a deterministic TPU
+    backend fault in the fused trainer on this stack, while the Table 1/3/6
+    widths (1280/3712-class) are proven over thousands of trainings. Padding
+    is exactly inert (masked noise/output — see module docstring and
+    tests/test_gan_train.py pad-equivalence), so bucketing trades a few
+    dead columns for one compiled program per bucket and no faults.
+    """
     d = x.shape[-1]
-    dp = pad_dim(d, multiple)
+    dp = pad_dim(d, multiple, min_dim)
     if dp == d:
         return x, d
     pad = [(0, 0)] * (x.ndim - 1) + [(0, dp - d)]

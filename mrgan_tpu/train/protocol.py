@@ -26,11 +26,11 @@ class DeviceDataset:
     the north star's "stream HBM-resident batches".
     """
 
-    def __init__(self, x, y, pad_multiple=128, mesh=None):
+    def __init__(self, x, y, pad_multiple=128, mesh=None, pad_min=0):
         import jax
 
         xp, self.valid_dim = gan.pad_features(
-            np.asarray(x, np.float32), pad_multiple
+            np.asarray(x, np.float32), pad_multiple, pad_min
         )
         self.y_host = np.asarray(y, np.int32)
         if mesh is not None:
@@ -162,7 +162,7 @@ def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
     """
     rng = np.random.RandomState(seed)
     ds = x if isinstance(x, DeviceDataset) else DeviceDataset(
-        x, y, cfg.pad_multiple, mesh=mesh
+        x, y, cfg.pad_multiple, mesh=mesh, pad_min=cfg.pad_min
     )
     if splits is None:
         splits = stratified_splits(ds.y_host, n_splits=n_splits, seed=seed)
@@ -200,7 +200,8 @@ def run_prepared_folds(folds, cfg, rng, mesh=None):
     stacked = stack_folds(folds)
     valid_dim = stacked["x_labeled"].shape[-1]
     for k in ("x_labeled", "pool", "x_test"):
-        stacked[k], _ = gan.pad_features(stacked[k], cfg.pad_multiple)
+        stacked[k], _ = gan.pad_features(stacked[k], cfg.pad_multiple,
+                                         cfg.pad_min)
     keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
     args = (
         keys,
@@ -248,7 +249,8 @@ def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
     y_all = np.concatenate([np.asarray(objects[n]["y"]) for n in names], 0)
     sizes = [len(objects[n]["y"]) for n in names]
     offs = np.cumsum([0] + sizes)
-    ds = DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh)
+    ds = DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh,
+                       pad_min=cfg.pad_min)
     all_rows = np.arange(len(y_all))
 
     if chunk is None:

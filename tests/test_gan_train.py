@@ -76,6 +76,20 @@ def test_padding_equivalence():
     x, y = _blobs(rng, 30, 20)
     cfg = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=1)
     cfg_pad = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=32)
+    # pad_min buckets far beyond the data width (the table-5 fault dodge)
+    cfg_min = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=32,
+                            pad_min=96)
     errs = protocol.run_gan_cell(x, y, 10, cfg=cfg, seed=7, n_splits=2)
     errs_pad = protocol.run_gan_cell(x, y, 10, cfg=cfg_pad, seed=7, n_splits=2)
+    errs_min = protocol.run_gan_cell(x, y, 10, cfg=cfg_min, seed=7, n_splits=2)
     assert errs.mean() < 0.2 and errs_pad.mean() < 0.2, (errs, errs_pad)
+    assert errs_min.mean() < 0.2, errs_min
+
+
+def test_pad_features_min_dim():
+    x = np.ones((3, 20), np.float32)
+    xp, d = gan.pad_features(x, 32, 96)
+    assert xp.shape == (3, 96) and d == 20
+    np.testing.assert_array_equal(xp[:, 20:], 0.0)
+    xp2, d2 = gan.pad_features(np.ones((3, 200), np.float32), 32, 96)
+    assert xp2.shape == (3, 224) and d2 == 200  # min below natural pad: no-op
