@@ -87,6 +87,18 @@ class Ctx:
             **kw,
         )
 
+    def build(self, fn, **what):
+        """Guarded dataset/frontend construction: returns None on a backend
+        fault (the caller skips that sweep section) instead of losing the
+        whole run."""
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 — keep the sweep alive
+            M.p(f"[dataset build failed: {what}: {type(e).__name__}: {e}]")
+            self.ms.emit("build_failed", model=self.model, **what,
+                         error=f"{type(e).__name__}: {e}")
+            return None
+
     def cell(self, fn, **key):
         """Checkpoint-gated cell execution. fn() -> list of errors."""
         import time
@@ -125,8 +137,15 @@ def gan_table1(ctx):
     M.header("Testing various amounts of labeled training data")
     for modality in (ctx.args.modalities or T1_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
-        x, y = ctx.dataset(modalities=modality)
-        ds = protocol.DeviceDataset(x, y, cfg.pad_multiple, mesh=ctx.mesh)
+        built = ctx.build(
+            lambda m=modality: protocol.DeviceDataset(
+                *ctx.dataset(modalities=m), cfg.pad_multiple, mesh=ctx.mesh
+            ),
+            table=1, modality=modality,
+        )
+        if built is None:
+            continue
+        ds = built
         for percent in PERCENTS_KFOLD:
             M.subheader("Percentage of training data labeled: %d%%" % percent)
             errors = ctx.cell(
@@ -146,7 +165,13 @@ def gan_table3(ctx):
     M.header("Testing generalization with leave-one-object-out validation")
     for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
-        objects = ctx.dataset(modalities=modality, leave_object_out=True)
+        objects = ctx.build(
+            lambda m=modality: ctx.dataset(modalities=m,
+                                           leave_object_out=True),
+            table=3, modality=modality,
+        )
+        if objects is None:
+            continue
         for percent in PERCENTS_LOO:
             M.subheader("Percentage of training data labeled: %d%%" % percent)
 
@@ -168,35 +193,42 @@ def gan_table5(ctx):
     # proven 1280-class width (inert padding; see gan.pad_features).
     cfg = gan.GanConfig(epochs=ctx.args.epochs, pad_min=ctx.args.pad_min)
     M.header("Testing various lengths of contact time in training data")
+    # Each duration is its own dataset, so the build happens INSIDE the
+    # guarded cell closure: a backend fault during the frontend (e.g. the
+    # mel transform right after a worker crash) skips the cell instead of
+    # killing the sweep — and checkpointed cells skip the build entirely.
+    def run_cell(errors_fn, **key):
+        errors = ctx.cell(errors_fn, table=5, **key)
+        for e in errors:
+            M.fold_result(e)
+        M.cell_average(errors)
+
     for modality in (ctx.args.modalities or T5_FT_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
         for ft_time in FT_TIMES:
             M.subheader("Length of training data: %.1fs" % ft_time)
-            x, y = ctx.dataset(modalities=modality, forcetemp_time=ft_time)
-            errors = ctx.cell(
-                lambda: protocol.run_gan_cell(
+
+            def run(modality=modality, ft_time=ft_time):
+                x, y = ctx.dataset(modalities=modality,
+                                   forcetemp_time=ft_time)
+                return protocol.run_gan_cell(
                     x, y, 100, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
-                ),
-                table=5, modality=modality, ft_time=ft_time,
-            )
-            for e in errors:
-                M.fold_result(e)
-            M.cell_average(errors)
+                )
+
+            run_cell(run, modality=modality, ft_time=ft_time)
 
     M.header("Testing various lengths of contact time in training data")
     M.modality_header(MODALITY_NAMES[3])
     for c_time in C_TIMES:
         M.subheader("Length of training data: %.1fs" % c_time)
-        x, y = ctx.dataset(modalities=3, contactmic_time=c_time)
-        errors = ctx.cell(
-            lambda: protocol.run_gan_cell(
+
+        def run(c_time=c_time):
+            x, y = ctx.dataset(modalities=3, contactmic_time=c_time)
+            return protocol.run_gan_cell(
                 x, y, 100, cfg=cfg, seed=ctx.seed, mesh=ctx.mesh,
-            ),
-            table=5, modality=3, c_time=c_time,
-        )
-        for e in errors:
-            M.fold_result(e)
-        M.cell_average(errors)
+            )
+
+        run_cell(run, modality=3, c_time=c_time)
 
 
 def gan_table6(ctx):
@@ -204,8 +236,15 @@ def gan_table6(ctx):
     M.header("Testing performance as quantity of unlabeled data increases")
     for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
-        x, y = ctx.dataset(modalities=modality)
-        ds = protocol.DeviceDataset(x, y, cfg.pad_multiple, mesh=ctx.mesh)
+        built = ctx.build(
+            lambda m=modality: protocol.DeviceDataset(
+                *ctx.dataset(modalities=m), cfg.pad_multiple, mesh=ctx.mesh
+            ),
+            table=6, modality=modality,
+        )
+        if built is None:
+            continue
+        ds = built
         for percentlabeled in [4]:
             M.subheader(
                 "Percentage of training data labeled: %d%%" % percentlabeled
@@ -255,7 +294,11 @@ def _baseline_table2(ctx, run_cell):
     M.header("Testing various amounts of labeled training data")
     for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
-        x, y = ctx.dataset(modalities=modality)
+        built = ctx.build(lambda m=modality: ctx.dataset(modalities=m),
+                          table=2, modality=modality)
+        if built is None:
+            continue
+        x, y = built
         for percent in PERCENTS_KFOLD:
             M.subheader("Percentage of training data labeled: %d%%" % percent)
             errors = ctx.cell(
@@ -270,7 +313,13 @@ def _baseline_table4(ctx, run_loo):
     M.header("Testing generalization with leave-one-object-out validation")
     for modality in (ctx.args.modalities or PAIR_MODALITIES):
         M.modality_header(MODALITY_NAMES[modality])
-        objects = ctx.dataset(modalities=modality, leave_object_out=True)
+        objects = ctx.build(
+            lambda m=modality: ctx.dataset(modalities=m,
+                                           leave_object_out=True),
+            table=4, modality=modality,
+        )
+        if objects is None:
+            continue
         for percent in PERCENTS_LOO:
             M.subheader("Percentage of training data labeled: %d%%" % percent)
 

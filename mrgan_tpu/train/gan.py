@@ -140,7 +140,18 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         3x-taller M for the MXU. Same for the two generator-loss passes.
         """
         pg, pd, od, og = carry
-        xl, yl, xu, xu2, k = inputs
+        li, ui, u2i, k = inputs
+        # Gather this batch's rows here, inside the scan step, rather than
+        # materializing whole-epoch (nb, bs, D) batch tensors in epoch_body:
+        # same indices -> identical math, but HBM sees one read of bs rows
+        # per step instead of a write+read of the full epoch copy (the fused
+        # step is HBM-bound), and the multi-hundred-MB transients vanish —
+        # at the Table-5 audio widths (D=12032) those transients were enough
+        # to crash the worker.
+        xl = x_labeled[li]
+        yl = y_labeled[li]
+        xu = pool[ui]
+        xu2 = pool[u2i]
         k_z1, k_z2, k_d, k_g = jax.random.split(k, 4)
 
         # --- discriminator update (mr_gan.py:166,169; train_batch_disc) ---
@@ -176,13 +187,11 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         lab_idx = schedule.tiled_permutation(k_lab, n_lab, n_train)[: nb * bs]
         u1_idx = schedule.tiled_permutation(k_u1, n_pool, n_train)[: nb * bs]
         u2_idx = schedule.tiled_permutation(k_u2, n_pool, n_train)[: nb * bs]
-        xl = x_labeled[lab_idx].reshape(nb, bs, feat_dim)
-        yl = y_labeled[lab_idx].reshape(nb, bs)
-        xu = pool[u1_idx].reshape(nb, bs, feat_dim)
-        xu2 = pool[u2_idx].reshape(nb, bs, feat_dim)
         step_keys = jax.random.split(k_steps, nb)
         carry, (ll, lu, terr) = jax.lax.scan(
-            batch_step, carry, (xl, yl, xu, xu2, step_keys)
+            batch_step, carry,
+            (lab_idx.reshape(nb, bs), u1_idx.reshape(nb, bs),
+             u2_idx.reshape(nb, bs), step_keys),
         )
         return carry, (jnp.mean(ll), jnp.mean(lu), jnp.mean(terr))
 

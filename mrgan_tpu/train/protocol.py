@@ -174,8 +174,33 @@ def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
     return run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)
 
 
+# Per-launch byte budget for the fused trainer's gathered fold arrays.
+# Calibrated on this v5e worker: 6 folds x feat 3712 (~1.7 GB gathered) is
+# proven over thousands of trainings and 3 x 12032 (~2.8 GB) passes a probed
+# 100-epoch run, while 6 x 12032 (~5.5 GB) crashes the worker; chunking keeps
+# every launch at or under the proven ~2.8 GB point. vmap widths beyond 6
+# crash independently of bytes (probed in run_gan_loo), so the LOO driver
+# also caps width at 6/device.
+FOLD_LAUNCH_BYTE_BUDGET = 2.9e9
+
+
+def _fold_launch_chunk(n_folds, feat_dim, n_lab, n_pool, n_train, n_test):
+    """Max folds per fused launch within the gathered-bytes budget."""
+    per_fold = 4.0 * feat_dim * (n_train + n_lab + n_pool + n_test)
+    chunk = int(max(1, min(n_folds, FOLD_LAUNCH_BYTE_BUDGET // per_fold)))
+    # Balance launches (6 folds at budget 4 -> 3+3, one compiled width,
+    # instead of 4+2, two widths)
+    n_launch = -(-n_folds // chunk)
+    return -(-n_folds // n_launch)
+
+
 def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
-    """Stack per-fold index tuples and train fused against ds.X."""
+    """Stack per-fold index tuples and train fused against ds.X.
+
+    Folds run in as few fused launches as the byte budget allows (all 6 in
+    one program at the reference shapes; wide-feature Table-5 audio cells
+    split into smaller launches instead of crashing the worker).
+    """
     from ..utils import rng as rng_util
 
     lab, pool, train, test = (np.stack([f[i] for f in idx]) for i in range(4))
@@ -187,9 +212,19 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
             keys, ds.X, ds.y, lab, pool, train, test,
             valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh,
         )
-    errs = gan.train_folds_indexed(keys, ds.X, ds.y, lab, pool, train, test,
-                                   valid_dim=ds.valid_dim, cfg=cfg)
-    return np.asarray(errs)
+    chunk = _fold_launch_chunk(
+        len(idx), ds.X.shape[-1], lab.shape[1], pool.shape[1],
+        train.shape[1], test.shape[1],
+    )
+    errs = []
+    for s in range(0, len(idx), chunk):
+        e = gan.train_folds_indexed(
+            keys[s : s + chunk], ds.X, ds.y, lab[s : s + chunk],
+            pool[s : s + chunk], train[s : s + chunk], test[s : s + chunk],
+            valid_dim=ds.valid_dim, cfg=cfg,
+        )
+        errs.append(np.asarray(e))
+    return np.concatenate(errs)
 
 
 def run_prepared_folds(folds, cfg, rng, mesh=None):

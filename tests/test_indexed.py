@@ -85,6 +85,41 @@ def test_indexed_loo_runner():
     assert np.all((errs >= 0) & (errs <= 1))
 
 
+def test_fold_launch_chunking_matches_single_launch(monkeypatch):
+    """Byte-budgeted fold chunking (the wide-feature worker-crash dodge) must
+    return the same per-fold errors as one fused launch: each fold's key and
+    indices are independent of launch grouping."""
+    rng0 = np.random.RandomState(11)
+    y = np.tile(np.arange(6, dtype=np.int32), 60)  # balanced -> equal folds
+    centers = rng0.randn(6, 40) * 3
+    x = (centers[y] + rng0.randn(360, 40)).astype(np.float32)
+    cfg = gan.GanConfig(noise_size=8, batch_size=10, epochs=3)
+    ds = protocol.DeviceDataset(x, y, cfg.pad_multiple)
+    splits = protocol.stratified_splits(y, n_splits=4, seed=7)
+
+    def run():
+        rng = np.random.RandomState(7)
+        idx = [protocol.fold_indices(ds.y_host, tr, te, 5, None, 6, rng)
+               for tr, te in splits]
+        return protocol.run_indexed_folds(ds, idx, cfg, rng)
+
+    want = run()
+    monkeypatch.setattr(protocol, "FOLD_LAUNCH_BYTE_BUDGET", 1.0)  # -> width 1
+    got = run()
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (4,)
+
+
+def test_fold_launch_chunk_sizing():
+    # reference shapes stay one fused launch of 6
+    assert protocol._fold_launch_chunk(6, 3712, 6000, 6000, 6000, 1200) == 6
+    # table-5 audio width splits into balanced launches of <=3
+    c = protocol._fold_launch_chunk(6, 12032, 6000, 6000, 6000, 1200)
+    assert c == 3
+    # never below 1
+    assert protocol._fold_launch_chunk(6, 10**9, 6000, 6000, 6000, 1200) == 1
+
+
 def test_pool_padding_is_semantically_inert():
     """The TPU-fault workaround (pad pool indices to train width with a
     static n_pool_valid) must not change the math: padded and unpadded
