@@ -59,17 +59,42 @@ def _padded_bases(sr, n_fft, n_mels):
     return _pallas_basis_cache[key]
 
 
-def _mel_kernel(frames_ref, cw_ref, sw_ref, melw_ref, out_ref):
+def _dot_bf16x3(a, b):
+    """f32 matmul as 3 bf16 MXU passes (the classic bf16x3 split).
+
+    Mosaic only lowers Precision.DEFAULT (1 pass) and HIGHEST (6 passes), so
+    HIGH is built by hand: split each operand into a bf16 head and a bf16
+    residual and drop only the tiny lo*lo term. Relative error ~2^-16 per
+    element — ~1e-3 dB after the ref-max log scaling — at half HIGHEST's
+    MXU work.
+    """
+    a_hi = a.astype(jnp.bfloat16)
+    a_lo = (a - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    b_hi = b.astype(jnp.bfloat16)
+    b_lo = (b - b_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    dot = partial(jnp.dot, preferred_element_type=jnp.float32)
+    return dot(a_hi, b_hi) + dot(a_hi, b_lo) + dot(a_lo, b_hi)
+
+
+def _mel_kernel(frames_ref, cw_ref, sw_ref, melw_ref, out_ref, *, precision):
     k = pl.program_id(1)
-    # HIGHEST precision: the MXU's default bf16 passes cost up to ~5 dB after
-    # the ref-max log scaling; parity with librosa semantics needs f32.
-    hi = jax.lax.Precision.HIGHEST
-    re = jnp.dot(frames_ref[:], cw_ref[:], precision=hi,
-                 preferred_element_type=jnp.float32)
-    im = jnp.dot(frames_ref[:], sw_ref[:], precision=hi,
-                 preferred_element_type=jnp.float32)
+    # Precision ladder on the MXU (f32 operands decompose into bf16 passes):
+    # DEFAULT = 1 pass (up to ~5 dB error after ref-max log scaling),
+    # HIGH = 3 passes via _dot_bf16x3 (~1e-3 dB, half the MXU work),
+    # HIGHEST = 6 passes (librosa-parity to ~5e-5 dB). The DFT matmuls below
+    # are ~32x the FLOPs of the mel projection, so `precision` governs them;
+    # the cheap mel GEMM always runs at HIGHEST.
+    if precision == jax.lax.Precision.HIGH:
+        re = _dot_bf16x3(frames_ref[:], cw_ref[:])
+        im = _dot_bf16x3(frames_ref[:], sw_ref[:])
+    else:
+        re = jnp.dot(frames_ref[:], cw_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
+        im = jnp.dot(frames_ref[:], sw_ref[:], precision=precision,
+                     preferred_element_type=jnp.float32)
     power = re * re + im * im
-    contrib = jnp.dot(power, melw_ref[:], precision=hi,
+    contrib = jnp.dot(power, melw_ref[:],
+                      precision=jax.lax.Precision.HIGHEST,
                       preferred_element_type=jnp.float32)
 
     @pl.when(k == 0)
@@ -81,7 +106,8 @@ def _mel_kernel(frames_ref, cw_ref, sw_ref, melw_ref, out_ref):
         out_ref[:] = out_ref[:] + contrib
 
 
-def mel_power(frames, sr=48000, n_fft=2048, n_mels=128, interpret=False):
+def mel_power(frames, sr=48000, n_fft=2048, n_mels=128, interpret=False,
+              precision=jax.lax.Precision.HIGHEST):
     """Fused mel power spectrogram: (F, n_fft) frames -> (F, n_mels)."""
     cw, sw, melw = _padded_bases(sr, n_fft, n_mels)
     f = frames.shape[0]
@@ -92,7 +118,7 @@ def mel_power(frames, sr=48000, n_fft=2048, n_mels=128, interpret=False):
     grid = (f_pad // FRAME_TILE, k_pad // KBLOCK)
 
     out = pl.pallas_call(
-        _mel_kernel,
+        partial(_mel_kernel, precision=precision),
         grid=grid,
         in_specs=[
             pl.BlockSpec((FRAME_TILE, n_fft), lambda i, k: (i, 0),
@@ -122,20 +148,24 @@ def mel_power(frames, sr=48000, n_fft=2048, n_mels=128, interpret=False):
 @partial(
     jax.jit,
     static_argnames=("sr", "n_fft", "hop_length", "n_mels", "flatten",
-                     "interpret"),
+                     "interpret", "precision"),
 )
 def logmel(audio, sr=48000, n_fft=2048, hop_length=512, n_mels=128,
-           flatten=True, interpret=False):
+           flatten=True, interpret=False,
+           precision=jax.lax.Precision.HIGHEST):
     """Drop-in for ops.mel.logmel with the fused Pallas core.
 
     audio: (B, N) -> (B, n_mels * T) flattened mel-major (or (B, n_mels, T)).
+    precision=HIGH halves the MXU work of the dominant DFT GEMMs at ~1e-3 dB
+    deviation from the golden librosa-0.5.1 semantics; HIGHEST (default) is
+    the parity setting (~5e-5 dB).
     """
     audio = audio.astype(jnp.float32)
     b = audio.shape[0]
     t = mel_ref.num_frames(audio.shape[-1], hop_length)
     frames = mel_ref._frame(audio, n_fft, hop_length)  # (B, T, n_fft)
     mel = mel_power(frames.reshape(b * t, n_fft), sr, n_fft, n_mels,
-                    interpret=interpret)
+                    interpret=interpret, precision=precision)
     mel = mel.reshape(b, t, n_mels)
     log_spec = 10.0 * jnp.log10(jnp.maximum(mel_ref._AMIN, mel))
     ref = jnp.max(mel, axis=(1, 2), keepdims=True)

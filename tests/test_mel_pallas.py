@@ -31,6 +31,20 @@ def test_logmel_pallas_matches_gemm_frontend():
     np.testing.assert_allclose(got, want, atol=0.02)  # dB scale
 
 
+def test_logmel_pallas_high_precision_close():
+    # precision=HIGH halves the MXU passes of the dominant DFT GEMMs; the dB
+    # output must stay within a relaxed-but-tight tolerance of the golden
+    # GEMM frontend. (In interpreter mode precision is exact f32, so this
+    # mainly pins the API; on TPU it bounds the real bf16x3 error.)
+    rng = np.random.RandomState(3)
+    audio = (rng.randn(3, 4800) * 100).astype(np.float32)
+    want = np.asarray(mel_ref.logmel(audio))
+    got = np.asarray(
+        mel_pallas.logmel(audio, interpret=INTERPRET,
+                          precision=jax.lax.Precision.HIGH))
+    np.testing.assert_allclose(got, want, atol=0.1)  # dB scale
+
+
 def test_logmel_pallas_unflattened_layout():
     rng = np.random.RandomState(2)
     audio = rng.randn(2, 2400).astype(np.float32)
