@@ -46,11 +46,12 @@ def update(grads, state, params, lr=6e-4, b1=0.5, b2=0.999, eps=1e-8,
 
     def upd_m(m_, g):
         return (b1 * m_.astype(jnp.float32)
-                + (1.0 - b1) * g).astype(m_.dtype)
+                + (1.0 - b1) * g.astype(jnp.float32)).astype(m_.dtype)
 
     def upd_v(v_, g):
+        g32 = g.astype(jnp.float32)  # square in f32 even for bf16-staged grads
         return (b2 * v_.astype(jnp.float32)
-                + (1.0 - b2) * g * g).astype(v_.dtype)
+                + (1.0 - b2) * g32 * g32).astype(v_.dtype)
 
     m = jax.tree.map(upd_m, state["m"], grads)
     v = jax.tree.map(upd_v, state["v"], grads)
