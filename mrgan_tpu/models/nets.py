@@ -42,7 +42,17 @@ def dense_init(key, in_dim, out_dim):
 
 
 def dense(p, x, precision=None):
-    return jnp.dot(x, p["w"], precision=precision) + p["b"]
+    w = p["w"]
+    if w.dtype != x.dtype:
+        # Mixed-dtype path for bf16 "shadow" weights (train.gan): on the MXU
+        # a DEFAULT-precision f32 dot truncates operands to bf16 anyway, so
+        # feeding a pre-truncated bf16 W is bitwise-identical (verified on
+        # v5e) while streaming half the weight bytes from HBM.
+        dn = (((x.ndim - 1,), (0,)), ((), ()))
+        return jax.lax.dot_general(
+            x, w, dn, precision=precision,
+            preferred_element_type=x.dtype) + p["b"]
+    return jnp.dot(x, w, precision=precision) + p["b"]
 
 
 def gaussian_noise(key, x, stddev, train):

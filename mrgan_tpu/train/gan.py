@@ -55,6 +55,17 @@ class GanConfig:
     # (mr_gan.py:165-167): its iteration counter advances by 2 per batch, so
     # bias correction sees t = 1,3,5,... (disc) / 2,4,6,... (gen). True pins
     # that semantic (a SURVEY §7 "small semantic trap").
+    matmul_weight_dtype: str = "bfloat16"
+    # "bfloat16" streams the weight MATRICES through bf16 shadow copies for
+    # every matmul pass (fwd + bwd, disc + gen), refreshed inside the Adam
+    # fusion each step; the f32 masters only feed Adam. On the MXU a
+    # DEFAULT-precision f32 dot truncates operands to bf16 per pass anyway,
+    # so the forward/backward dots are BITWISE-IDENTICAL (verified on v5e) —
+    # the only numeric delta is weight-gradients rounding to bf16 before the
+    # (f32) Adam math, the same order as the validated bf16 moment buffers.
+    # The fused step is HBM-bound on weight streaming; this halves the bytes
+    # of 4 of the 6 big-matrix passes per step. "float32" restores exact
+    # f32 gradient staging.
 
     @property
     def opt_dtype(self):
@@ -103,6 +114,14 @@ def _masks(feat_dim, valid_dim):
     return (np.arange(feat_dim) < valid_dim).astype(np.float32)
 
 
+def _mm_shadow(params):
+    """bf16 shadow of the weight matrices (biases/BN stay f32); see
+    GanConfig.matmul_weight_dtype. Refreshing the shadow right after the
+    Adam update lets XLA emit it from the Adam fusion's output epilogue."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.ndim == 2 else a, params)
+
+
 def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
                *, n_train, valid_dim, cfg: GanConfig, n_pool_valid=None):
     """Train a single GAN cell end-to-end; returns (test_error, metrics).
@@ -130,6 +149,8 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
     def disc_fwd(pd, x, k):
         return nets.discriminator_apply(pd, x, k, train=True, in_mask=mask)
 
+    use_sh = cfg.matmul_weight_dtype == "bfloat16"
+
     def batch_step(carry, inputs):
         """One fused disc+gen update (mr_gan.py:204-213 semantics).
 
@@ -138,8 +159,18 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         element, the three passes are fused into ONE concatenated forward
         (3*bs rows) — identical in distribution, 3x fewer RNG draws, and a
         3x-taller M for the MXU. Same for the two generator-loss passes.
+
+        With matmul_weight_dtype="bfloat16" the carry additionally holds
+        bf16 shadows of both parameter trees; all dots run off the shadows
+        (bitwise-identical to the f32 dots — the MXU truncates either way)
+        and gradients are taken w.r.t. the shadows, feeding the f32 masters'
+        Adam update.
         """
-        pg, pd, od, og = carry
+        if use_sh:
+            pg, pd, od, og, pg_sh, pd_sh = carry
+        else:
+            pg, pd, od, og = carry
+            pg_sh, pd_sh = pg, pd
         li, ui, u2i, k = inputs
         # Gather this batch's rows here, inside the scan step, rather than
         # materializing whole-epoch (nb, bs, D) batch tensors in epoch_body:
@@ -156,7 +187,7 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
         # --- discriminator update (mr_gan.py:166,169; train_batch_disc) ---
         z1 = jax.random.normal(k_z1, (bs, cfg.noise_size))
-        x_fake = nets.generator_apply(pg, z1, out_mask=mask)
+        x_fake = nets.generator_apply(pg_sh, z1, out_mask=mask)
 
         def d_loss(pd_):
             logits, _ = disc_fwd(pd_, jnp.concatenate([xl, xu, x_fake]), k_d)
@@ -166,20 +197,27 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
             terr = losses.error_rate(logits_lab, yl)
             return ll + cfg.unlabeled_weight * lu, (ll, lu, terr)
 
-        d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd)
+        d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd_sh)
         pd, od = adam(d_grads, od, pd)
+        if use_sh:
+            pd_sh = _mm_shadow(pd)
+        else:
+            pd_sh = pd
 
         # --- generator update against the updated discriminator ---
         z2 = jax.random.normal(k_z2, (bs, cfg.noise_size))
 
         def g_loss(pg_):
             xf = nets.generator_apply(pg_, z2, out_mask=mask)
-            _, mid = disc_fwd(pd, jnp.concatenate([xf, xu2]), k_g)
+            _, mid = disc_fwd(pd_sh, jnp.concatenate([xf, xu2]), k_g)
             mid_fake, mid_real = jnp.split(mid, 2)
             return losses.loss_feature_matching(mid_fake, mid_real)
 
-        g_grads = jax.grad(g_loss)(pg)
+        g_grads = jax.grad(g_loss)(pg_sh)
         pg, og = adam(g_grads, og, pg)
+        if use_sh:
+            pg_sh = _mm_shadow(pg)
+            return (pg, pd, od, og, pg_sh, pd_sh), (ll, lu, terr)
         return (pg, pd, od, og), (ll, lu, terr)
 
     def epoch_body(carry, k_epoch):
@@ -196,9 +234,11 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         return carry, (jnp.mean(ll), jnp.mean(lu), jnp.mean(terr))
 
     epoch_keys = jax.random.split(k_run, cfg.epochs)
-    (pg, pd, od, og), metrics = jax.lax.scan(
-        epoch_body, (params["gen"], params["disc"], opt_d, opt_g), epoch_keys
-    )
+    carry0 = (params["gen"], params["disc"], opt_d, opt_g)
+    if use_sh:
+        carry0 += (_mm_shadow(params["gen"]), _mm_shadow(params["disc"]))
+    carry, metrics = jax.lax.scan(epoch_body, carry0, epoch_keys)
+    pg, pd, od, og = carry[:4]
 
     # Final full-test-set evaluation, eval phase (mr_gan.py:230)
     logits, _ = nets.discriminator_apply(pd, x_test, train=False)
