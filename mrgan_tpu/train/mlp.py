@@ -26,6 +26,11 @@ class MlpConfig:
     beta1: float = 0.9
     num_classes: int = 6
     pad_multiple: int = 128
+    matmul_weight_dtype: str = "bfloat16"
+    # bf16 shadow weights for the matmul passes, exactly as in
+    # gan.GanConfig.matmul_weight_dtype (bitwise-identical dots on the MXU;
+    # dW rounds to bf16 before the f32 Adam math). The batch-20 MLP step is
+    # even more weight-streaming-bound than the GAN's.
 
 
 def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
@@ -39,17 +44,24 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
     k_init, k_run = jax.random.split(key)
     params = nets.mlp_init(k_init, feat_dim, cfg.num_classes)
     opt = optim.init(params)
+    use_sh = cfg.matmul_weight_dtype == "bfloat16"
 
     def batch_step(carry, inputs):
-        params, opt = carry
+        if use_sh:
+            params, opt, p_sh = carry
+        else:
+            params, opt = carry
+            p_sh = params
         xb, yb, k = inputs
 
         def loss_fn(p):
             logits = nets.mlp_apply(p, xb, k, train=True, in_mask=mask)
             return jnp.mean(jnp.square(logits - yb))
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
+        loss, grads = jax.value_and_grad(loss_fn)(p_sh)
         params, opt = optim.update(grads, opt, params, lr=cfg.lr, b1=cfg.beta1)
+        if use_sh:
+            return (params, opt, gan_mod._mm_shadow(params)), loss
         return (params, opt), loss
 
     def epoch_body(carry, k_epoch):
@@ -61,9 +73,13 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
         carry, losses_ = jax.lax.scan(batch_step, carry, (xb, yb, keys))
         return carry, jnp.mean(losses_)
 
-    (params, _), _ = jax.lax.scan(
-        epoch_body, (params, opt), jax.random.split(k_run, cfg.epochs)
+    carry0 = (params, opt)
+    if use_sh:
+        carry0 += (gan_mod._mm_shadow(params),)
+    carry, _ = jax.lax.scan(
+        epoch_body, carry0, jax.random.split(k_run, cfg.epochs)
     )
+    params = carry[0]
     logits = nets.mlp_apply(params, x_test, train=False)
     return jnp.mean(jnp.argmax(logits, axis=1) != y_test)
 
