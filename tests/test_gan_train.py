@@ -93,3 +93,44 @@ def test_pad_features_min_dim():
     np.testing.assert_array_equal(xp[:, 20:], 0.0)
     xp2, d2 = gan.pad_features(np.ones((3, 200), np.float32), 32, 96)
     assert xp2.shape == (3, 224) and d2 == 200  # min below natural pad: no-op
+
+
+def test_mm_shadow_structure():
+    p = {"d0": {"w": jnp.ones((4, 3)), "b": jnp.zeros((3,))},
+         "bn": {"gamma": jnp.ones((3,)), "beta": jnp.zeros((3,))}}
+    sh = gan._mm_shadow(p)
+    assert sh["d0"]["w"].dtype == jnp.bfloat16      # matrices shadowed
+    assert sh["d0"]["b"].dtype == jnp.float32       # vectors untouched
+    assert sh["bn"]["gamma"].dtype == jnp.float32
+
+
+def test_shadow_weights_equivalent_training():
+    """matmul_weight_dtype bf16 vs f32 must solve the same problem to the
+    same quality. (On TPU the dots are bitwise-identical — DEFAULT-precision
+    f32 dots truncate operands to bf16 on the MXU anyway; on CPU, where f32
+    dots are exact, the shadow path only perturbs low-order bits, so the
+    comparison is statistical.)"""
+    rng = np.random.RandomState(11)
+    x, y = _blobs(rng, 30, 20)
+    cfg32 = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=8,
+                          matmul_weight_dtype="float32")
+    cfg16 = gan.GanConfig(epochs=10, batch_size=50, pad_multiple=8,
+                          matmul_weight_dtype="bfloat16")
+    errs32 = protocol.run_gan_cell(x, y, 10, cfg=cfg32, seed=5, n_splits=2)
+    errs16 = protocol.run_gan_cell(x, y, 10, cfg=cfg16, seed=5, n_splits=2)
+    assert errs32.mean() < 0.2 and errs16.mean() < 0.2, (errs32, errs16)
+
+
+def test_dense_mixed_dtype_matches_truncated_f32():
+    from mrgan_tpu.models import nets
+
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    w = jnp.asarray(rng.randn(16, 8).astype(np.float32))
+    b = jnp.asarray(rng.randn(8).astype(np.float32))
+    got = nets.dense({"w": w.astype(jnp.bfloat16), "b": b}, x)
+    assert got.dtype == jnp.float32
+    # reference: truncate W to bf16, accumulate in f32
+    want = x @ w.astype(jnp.bfloat16).astype(jnp.float32) + b
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-6, atol=1e-6)
