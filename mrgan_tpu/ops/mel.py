@@ -179,7 +179,8 @@ def logmel(
 
 
 def logmel_sharded(audio, mesh, axis="data", sr=48000, n_fft=2048,
-                   hop_length=512, n_mels=128):
+                   hop_length=512, n_mels=128,
+                   precision=jax.lax.Precision.HIGHEST):
     """Frame-block sequence parallelism for the mel frontend (SURVEY.md
     §2.3's honest CP analog): STFT frames are independent given the center
     padding, so each device computes a contiguous block of frames of EVERY
@@ -210,10 +211,10 @@ def logmel_sharded(audio, mesh, axis="data", sr=48000, n_fft=2048,
         starts = (i * tb + jnp.arange(tb)) * hop_length
         idx = starts[:, None] + jnp.arange(n_fft)[None, :]
         frames = a[:, idx]  # (B, tb, n_fft)
-        hi = jax.lax.Precision.HIGHEST
-        re = jnp.einsum("btn,nk->btk", frames, cw, precision=hi)
-        im = jnp.einsum("btn,nk->btk", frames, sw, precision=hi)
-        mel = jnp.einsum("btk,km->btm", re * re + im * im, melw, precision=hi)
+        re = jnp.einsum("btn,nk->btk", frames, cw, precision=precision)
+        im = jnp.einsum("btn,nk->btk", frames, sw, precision=precision)
+        mel = jnp.einsum("btk,km->btm", re * re + im * im, melw,
+                         precision=precision)
         # global per-example ref across frame blocks
         ref = jax.lax.pmax(jnp.max(mel, axis=(1, 2)), axis)[:, None, None]
         log_spec = 10.0 * jnp.log10(jnp.maximum(_AMIN, mel))
