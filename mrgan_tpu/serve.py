@@ -18,7 +18,6 @@ sensor windows directly.
 
 import numpy as np
 import jax
-import jax.numpy as jnp
 
 from . import MATERIALS
 from .models import nets
