@@ -91,3 +91,19 @@ def test_checkpoint_resume(tiny_grids, capsys, tmp_path):
     avg = [ln for ln in first.splitlines() if ln.startswith("Average error:")]
     avg2 = [ln for ln in second.splitlines() if ln.startswith("Average error:")]
     assert avg == avg2
+
+
+def test_wganlpctsemi_cli_smoke(capsys, monkeypatch):
+    # The variant grid-search CLI end-to-end on tiny synthetic data with the
+    # cheapest algorithm (random forest; reference others/wganlpctsemi.py
+    # -t 0 -a rf protocol shape).
+    import wganlpctsemi
+
+    monkeypatch.setattr(
+        "sys.argv",
+        ["wganlpctsemi.py", "-t", "0", "-a", "rf", "--synthetic",
+         "--synthetic-pokes", "6", "--percents", "0.5", "--n-splits", "2"],
+    )
+    wganlpctsemi.main()
+    out = capsys.readouterr().out
+    assert "Accuracy" in out or "accuracy" in out
