@@ -43,15 +43,17 @@ def dense_init(key, in_dim, out_dim):
 
 def dense(p, x, precision=None):
     w = p["w"]
-    if w.dtype != x.dtype:
-        # Mixed-dtype path for bf16 "shadow" weights (train.gan): on the MXU
-        # a DEFAULT-precision f32 dot truncates operands to bf16 anyway, so
+    if w.dtype == jnp.bfloat16 and x.dtype == jnp.float32:
+        # bf16 "shadow" weights (train.optim.mm_shadow): on the MXU a
+        # DEFAULT-precision f32 dot truncates operands to bf16 anyway, so
         # feeding a pre-truncated bf16 W is bitwise-identical (verified on
-        # v5e) while streaming half the weight bytes from HBM.
+        # v5e) while streaming half the weight bytes from HBM. Accumulation
+        # stays f32 — only this specific (f32 x, bf16 W) pairing takes the
+        # mixed path; anything else falls through to ordinary promotion.
         dn = (((x.ndim - 1,), (0,)), ((), ()))
         return jax.lax.dot_general(
             x, w, dn, precision=precision,
-            preferred_element_type=x.dtype) + p["b"]
+            preferred_element_type=jnp.float32) + p["b"]
     return jnp.dot(x, w, precision=precision) + p["b"]
 
 

@@ -109,6 +109,11 @@ def _mel_kernel(frames_ref, cw_ref, sw_ref, melw_ref, out_ref, *, precision):
 def mel_power(frames, sr=48000, n_fft=2048, n_mels=128, interpret=False,
               precision=jax.lax.Precision.HIGHEST):
     """Fused mel power spectrogram: (F, n_fft) frames -> (F, n_mels)."""
+    # Canonicalize string spellings ("high", "highest", ...) so the kernel's
+    # enum comparison — which routes HIGH to the hand-built bf16x3 path
+    # Mosaic can lower — sees the same value for every accepted spelling.
+    if not isinstance(precision, jax.lax.Precision):
+        precision = jax.lax.Precision(precision)
     cw, sw, melw = _padded_bases(sr, n_fft, n_mels)
     f = frames.shape[0]
     f_pad = _round_up(f, FRAME_TILE)

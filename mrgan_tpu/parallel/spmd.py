@@ -28,6 +28,10 @@ from ..models import losses, nets
 from ..train import gan, optim
 
 
+def _f32(tree):
+    return jax.tree.map(lambda a: a.astype(jnp.float32), tree)
+
+
 def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
                   mask=None, axis_name="data"):
     """One fused disc+gen update on a batch shard; collectives over
@@ -40,12 +44,21 @@ def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
 
     adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1,
                    stride=2 if cfg.shared_adam_step else 1)
+    # bf16 shadow weights, matching train.gan.batch_step: this step is
+    # stateless per call, so the shadows are derived from the masters at
+    # entry (same value the single-chip trainer carries between steps —
+    # mm_shadow of the post-Adam masters), keeping the two paths
+    # semantically identical.
+    use_sh = cfg.matmul_weight_dtype == "bfloat16"
+    pg_sh = optim.mm_shadow(pg) if use_sh else pg
+    pd_sh = optim.mm_shadow(pd) if use_sh else pd
 
     def disc_fwd(pd_, x, k):
         return nets.discriminator_apply(pd_, x, k, train=True, in_mask=mask)
 
     z1 = jax.random.normal(k_z1, (bs, cfg.noise_size))
-    x_fake = nets.generator_apply(pg, z1, out_mask=mask, axis_name=axis_name)
+    x_fake = nets.generator_apply(pg_sh, z1, out_mask=mask,
+                                  axis_name=axis_name)
 
     def d_loss(pd_):
         # Fused 3-batch forward (see train.gan.batch_step docstring).
@@ -56,23 +69,27 @@ def dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key, *, cfg: gan.GanConfig,
         terr = losses.error_rate(logits_lab, yl)
         return ll + cfg.unlabeled_weight * lu, (ll, lu, terr)
 
-    d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd)
+    d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd_sh)
     if axis_name is not None:
-        d_grads = jax.lax.pmean(d_grads, axis_name)
+        # Shadow-path grads arrive bf16; reduce across shards in f32 so the
+        # DP mean doesn't lose low bits on top of the (validated) bf16
+        # rounding of each shard's contribution.
+        d_grads = jax.lax.pmean(_f32(d_grads), axis_name)
     pd, od = adam(d_grads, od, pd)
+    pd_sh = optim.mm_shadow(pd) if use_sh else pd
 
     z2 = jax.random.normal(k_z2, (bs, cfg.noise_size))
 
     def g_loss(pg_):
         xf = nets.generator_apply(pg_, z2, out_mask=mask, axis_name=axis_name)
-        _, mid = disc_fwd(pd, jnp.concatenate([xf, xu2]), k_g)
+        _, mid = disc_fwd(pd_sh, jnp.concatenate([xf, xu2]), k_g)
         mid_fake, mid_real = jnp.split(mid, 2)
         return losses.loss_feature_matching(mid_fake, mid_real,
                                             axis_name=axis_name)
 
-    g_grads = jax.grad(g_loss)(pg)
+    g_grads = jax.grad(g_loss)(pg_sh)
     if axis_name is not None:
-        g_grads = jax.lax.pmean(g_grads, axis_name)
+        g_grads = jax.lax.pmean(_f32(g_grads), axis_name)
     pg, og = adam(g_grads, og, pg)
 
     metrics = {"loss_lab": ll, "loss_unl": lu, "train_err": terr}

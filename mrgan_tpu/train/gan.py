@@ -114,12 +114,9 @@ def _masks(feat_dim, valid_dim):
     return (np.arange(feat_dim) < valid_dim).astype(np.float32)
 
 
-def _mm_shadow(params):
-    """bf16 shadow of the weight matrices (biases/BN stay f32); see
-    GanConfig.matmul_weight_dtype. Refreshing the shadow right after the
-    Adam update lets XLA emit it from the Adam fusion's output epilogue."""
-    return jax.tree.map(
-        lambda a: a.astype(jnp.bfloat16) if a.ndim == 2 else a, params)
+# See GanConfig.matmul_weight_dtype; kept as a module alias since both
+# trainers and tests reference the mechanism through their trainer module.
+_mm_shadow = optim.mm_shadow
 
 
 def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,

@@ -61,7 +61,7 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
         loss, grads = jax.value_and_grad(loss_fn)(p_sh)
         params, opt = optim.update(grads, opt, params, lr=cfg.lr, b1=cfg.beta1)
         if use_sh:
-            return (params, opt, gan_mod._mm_shadow(params)), loss
+            return (params, opt, optim.mm_shadow(params)), loss
         return (params, opt), loss
 
     def epoch_body(carry, k_epoch):
@@ -75,7 +75,7 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
 
     carry0 = (params, opt)
     if use_sh:
-        carry0 += (gan_mod._mm_shadow(params),)
+        carry0 += (optim.mm_shadow(params),)
     carry, _ = jax.lax.scan(
         epoch_body, carry0, jax.random.split(k_run, cfg.epochs)
     )

@@ -16,6 +16,18 @@ import jax
 import jax.numpy as jnp
 
 
+def mm_shadow(params):
+    """bf16 shadow of the weight MATRICES (vectors — biases, BN scales —
+    stay f32). The trainers (train.gan / train.mlp) hold this alongside the
+    f32 masters in their scan carries and run every matmul pass off it:
+    bitwise-identical on the MXU (DEFAULT-precision f32 dots truncate
+    operands to bf16 per pass anyway) at half the weight-streaming bytes.
+    Refreshing it immediately after the Adam update lets XLA emit it from
+    the Adam fusion's output epilogue."""
+    return jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16) if a.ndim == 2 else a, params)
+
+
 def init(params, state_dtype=None, t0=0):
     """Adam state. ``state_dtype`` (e.g. jnp.bfloat16) stores the moment
     buffers at reduced precision: profiled on v5e the fused GAN step is

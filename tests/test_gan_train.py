@@ -119,6 +119,9 @@ def test_shadow_weights_equivalent_training():
     errs32 = protocol.run_gan_cell(x, y, 10, cfg=cfg32, seed=5, n_splits=2)
     errs16 = protocol.run_gan_cell(x, y, 10, cfg=cfg16, seed=5, n_splits=2)
     assert errs32.mean() < 0.2 and errs16.mean() < 0.2, (errs32, errs16)
+    # the two dtypes must actually track each other, not merely both pass
+    assert abs(float(errs32.mean()) - float(errs16.mean())) < 0.1, (
+        errs32, errs16)
 
 
 def test_dense_mixed_dtype_matches_truncated_f32():
