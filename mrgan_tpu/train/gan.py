@@ -249,12 +249,21 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
 
 def scale_stats(x_train):
-    """StandardScaler fit as pure ops: population mean/std, zero-variance
-    columns pass through (sklearn semantics, mr_gan.py:96-98)."""
+    """StandardScaler fit as pure ops: population mean/std, constant columns
+    pass through (sklearn semantics, mr_gan.py:96-98).
+
+    NEAR-constant columns (std below ~10 eps relative to the column's
+    magnitude — e.g. mel bins pinned at the top_db floor) also pass through,
+    like modern sklearn's _handle_zeros_in_scale: dividing by an f32
+    cancellation-noise std amplifies junk by ~1e6 and was observed to
+    diverge a high-label MLP fold (exact-chance collapse) on wide synthetic
+    audio features. Genuine feature columns are orders of magnitude above
+    the threshold, so real scaling is untouched."""
     mean = jnp.mean(x_train, axis=0)
     var = jnp.mean(jnp.square(x_train - mean), axis=0)
     std = jnp.sqrt(var)
-    inv = jnp.where(std == 0.0, 1.0, 1.0 / jnp.maximum(std, 1e-30))
+    tiny = std <= 1.2e-6 * jnp.maximum(1.0, jnp.abs(mean))
+    inv = jnp.where(tiny, 1.0, 1.0 / jnp.maximum(std, 1e-30))
     return mean, inv
 
 

@@ -65,6 +65,10 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
         return (params, opt), loss
 
     def epoch_body(carry, k_epoch):
+        # NOTE: the epoch batch tensor is materialized up front, unlike the
+        # GAN trainer's in-scan gathers — measured on v5e the in-scan gather
+        # variant was ~3x SLOWER here (batch-20 row gathers under vmap lower
+        # poorly), while at the GAN's fused 150-row batches it was a win.
         k_perm, k_steps = jax.random.split(k_epoch)
         perm = jax.random.permutation(k_perm, n)[: nb * bs]
         xb = x_lab[perm].reshape(nb, bs, feat_dim)

@@ -85,10 +85,13 @@ def select_labeled(x_train, y_train, num_per_class, num_classes, rng):
 
 
 def scale_fold(x_train, x_test):
-    """StandardScaler semantics (population std, zero-var columns pass through)."""
+    """StandardScaler semantics (population std, constant columns pass
+    through). Near-constant columns (std within f32 cancellation noise of
+    the column magnitude) pass through too — see gan.scale_stats for the
+    rationale (observed MLP fold divergence on junk-amplified columns)."""
     mean = x_train.mean(axis=0)
     std = x_train.std(axis=0)
-    std[std == 0.0] = 1.0
+    std[std <= 1.2e-6 * np.maximum(1.0, np.abs(mean))] = 1.0
     return (x_train - mean) / std, (x_test - mean) / std
 
 
