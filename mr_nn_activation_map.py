@@ -31,7 +31,6 @@ def main():
     import jax
 
     from mrgan_tpu.data import mreo
-    from mrgan_tpu.models import nets
     from mrgan_tpu.train import gan as gan_mod
     from mrgan_tpu.train import mlp, protocol
     from mrgan_tpu.variants import activation_maps
@@ -50,40 +49,13 @@ def main():
     xt, _ = gan_mod.pad_features(fold["x_test"][None], cfg.pad_multiple)
     keys = jax.random.split(jax.random.PRNGKey(args.seed), 1)
 
-    # Train one fold and keep the parameters for the gradient maps
-    params = nets.mlp_init(jax.random.PRNGKey(args.seed + 1),
-                           xl.shape[-1], cfg.num_classes)
-    err = mlp.train_folds(keys, xl, fold["y_labeled"][None], xt,
-                          fold["y_test"][None], valid_dim=valid_dim, cfg=cfg)
+    # Train one fold and keep the parameters for the gradient maps — the one
+    # production trainer, with_params=True (no duplicated training loop).
+    err, aux = mlp.train_folds(keys, xl, fold["y_labeled"][None], xt,
+                               fold["y_test"][None], valid_dim=valid_dim,
+                               cfg=cfg, with_params=True)
     print("Test error:", float(err[0]))
-
-    # Re-train inline (mlp.train_folds discards params) with a short loop to
-    # obtain parameters; acceptable for an analysis script.
-    from mrgan_tpu.train import optim
-
-    opt = optim.init(params)
-    x_lab = np.asarray(xl[0])
-    y1h = np.eye(cfg.num_classes, dtype=np.float32)[fold["y_labeled"]]
-
-    import jax.numpy as jnp
-
-    @jax.jit
-    def step(params, opt, xb, yb, k):
-        def loss_fn(p):
-            logits = nets.mlp_apply(p, xb, k, train=True)
-            return jnp.mean(jnp.square(logits - yb))
-
-        grads = jax.grad(loss_fn)(params)
-        return optim.update(grads, opt, params, lr=cfg.lr, b1=0.9)
-
-    rng2 = np.random.RandomState(args.seed)
-    key = jax.random.PRNGKey(args.seed + 2)
-    for epoch in range(args.epochs):
-        perm = rng2.permutation(len(x_lab))
-        for s in range(0, len(x_lab) - cfg.batch_size + 1, cfg.batch_size):
-            sl = perm[s : s + cfg.batch_size]
-            key, k = jax.random.split(key)
-            params, opt = step(params, opt, x_lab[sl], y1h[sl], k)
+    params = jax.tree.map(lambda a: a[0], aux["params"])
 
     x_test = np.asarray(xt[0][: args.samples])
     y_test_1h = np.eye(cfg.num_classes,

@@ -48,12 +48,16 @@ def dense(p, x, precision=None):
         # DEFAULT-precision f32 dot truncates operands to bf16 anyway, so
         # feeding a pre-truncated bf16 W is bitwise-identical (verified on
         # v5e) while streaming half the weight bytes from HBM. Accumulation
-        # stays f32 — only this specific (f32 x, bf16 W) pairing takes the
-        # mixed path; anything else falls through to ordinary promotion.
-        dn = (((x.ndim - 1,), (0,)), ((), ()))
-        return jax.lax.dot_general(
-            x, w, dn, precision=precision,
-            preferred_element_type=jnp.float32) + p["b"]
+        # stays f32. The mixed path is only valid at DEFAULT precision: a
+        # caller explicitly requesting HIGH/HIGHEST gets the f32 master
+        # upcast instead (shadows carry no extra bits, so the upcast is
+        # exact — it just restores the multi-pass precision semantics).
+        if precision in (None, jax.lax.Precision.DEFAULT, "default"):
+            dn = (((x.ndim - 1,), (0,)), ((), ()))
+            return jax.lax.dot_general(
+                x, w, dn, precision=precision,
+                preferred_element_type=jnp.float32) + p["b"]
+        w = w.astype(jnp.float32)
     return jnp.dot(x, w, precision=precision) + p["b"]
 
 

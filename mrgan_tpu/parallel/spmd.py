@@ -14,7 +14,12 @@ requires them —
   nonlinear in the batch expectations (mr_gan.py:152-154).
 
 With equal shard sizes this is numerically the same objective as the
-reference's single-device step, just laid out across chips.
+reference's single-device step, just laid out across chips. Exactness caveat:
+with the default ``matmul_weight_dtype="bfloat16"`` each shard's weight
+gradients round to bf16 (the shadow-weight staging) BEFORE the f32 pmean, so
+DP matches the single-device full-batch step to bf16-rounding tolerance, not
+bitwise; set ``matmul_weight_dtype="float32"`` for exact DP==global math
+(tests/test_parallel.py covers both regimes).
 """
 
 from functools import lru_cache, partial

@@ -123,10 +123,48 @@ def _sharded_mlp_trainer(valid_dim, cfg, mesh):
     sh = mesh_lib.cell_sharding(mesh)
 
     def one(key, x_lab, y_lab, x_test, y_test):
-        return mlp._train_one(key, x_lab, y_lab, x_test, y_test,
-                              valid_dim=valid_dim, cfg=cfg)
+        err, _ = mlp._train_one(key, x_lab, y_lab, x_test, y_test,
+                                valid_dim=valid_dim, cfg=cfg)
+        return err
 
     return jax.jit(jax.vmap(one), in_shardings=(sh,) * 5, out_shardings=sh)
+
+
+@lru_cache(maxsize=64)
+def _sharded_indexed_mlp_trainer(shapes, valid_dim, cfg, mesh):
+    """Indexed MLP variant: X/y replicated (one upload), index vectors
+    sharded over the cell axis — mirrors _sharded_indexed_gan_trainer."""
+    sh = mesh_lib.cell_sharding(mesh)
+    rep = mesh_lib.replicated(mesh)
+
+    def one(key, X, y, lab_idx, train_idx, test_idx):
+        err, _ = mlp._train_one_indexed(
+            key, X, y, lab_idx, train_idx, test_idx,
+            valid_dim=valid_dim, cfg=cfg)
+        return err
+
+    return jax.jit(
+        jax.vmap(one, in_axes=(0, None, None, 0, 0, 0)),
+        in_shardings=(sh, rep, rep, sh, sh, sh),
+        out_shardings=sh,
+    )
+
+
+def train_mlp_work_indexed(keys, X, y, lab_idx, train_idx, test_idx,
+                           valid_dim=None,
+                           cfg: mlp.MlpConfig = mlp.MlpConfig(), mesh=None):
+    """W independent MLP work items against device-resident X, mesh-sharded."""
+    if mesh is None:
+        mesh = mesh_lib.make_mesh()
+    if valid_dim is None:
+        valid_dim = X.shape[-1]
+    w = keys.shape[0]
+    w_pad = mesh_lib.pad_to_multiple(w, mesh.shape["cell"])
+    idx_args = _pad_work_axis([keys, lab_idx, train_idx, test_idx], w_pad)
+    shapes = (lab_idx.shape[-1], train_idx.shape[-1], test_idx.shape[-1])
+    fn = _sharded_indexed_mlp_trainer(shapes, int(valid_dim), cfg, mesh)
+    errs = fn(idx_args[0], X, y, *idx_args[1:])
+    return np.asarray(errs)[:w]
 
 
 def train_mlp_work(keys, x_lab, y_lab, x_test, y_test, valid_dim=None,

@@ -106,9 +106,11 @@ def fit_classifier(x, y, modality=None, percentlabeled=100,
     rng = np.random.RandomState(seed)
     x = np.asarray(x, np.float32)
     xp, valid_dim = gan.pad_features(x, cfg.pad_multiple)
-    mean = xp.mean(axis=0)
-    std = xp.std(axis=0)
-    inv = np.where(std == 0.0, 1.0, 1.0 / np.maximum(std, 1e-30))
+    # Same near-constant-column guard as the training paths (gan.scale_stats):
+    # a production fit on wide audio features can hit columns whose f32 std is
+    # pure cancellation noise, and dividing by it amplifies junk ~1e6x (the
+    # diagnosed MLP fold-collapse bug).
+    mean, inv = (np.asarray(a) for a in gan.scale_stats(xp))
     xs = (xp - mean) * inv
 
     x_lab, y_lab, x_shuf, _ = protocol.select_labeled(

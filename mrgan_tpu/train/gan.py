@@ -76,7 +76,10 @@ class GanConfig:
 
 
 def pad_dim(d, multiple, min_dim=0):
-    return max(-(-d // multiple) * multiple, min_dim)
+    # min_dim is rounded up to the lane multiple too: a --pad-min that is not
+    # itself a multiple must not reintroduce the misaligned widths the
+    # bucketing exists to avoid.
+    return -(-max(d, min_dim) // multiple) * multiple
 
 
 def pad_features(x, multiple=128, min_dim=0):

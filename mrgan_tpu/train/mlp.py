@@ -85,87 +85,143 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
     )
     params = carry[0]
     logits = nets.mlp_apply(params, x_test, train=False)
-    return jnp.mean(jnp.argmax(logits, axis=1) != y_test)
+    err = jnp.mean(jnp.argmax(logits, axis=1) != y_test)
+    return err, {"params": params}
+
+
+def _train_one_indexed(key, X, y, lab_idx, train_idx, test_idx,
+                       *, valid_dim, cfg: MlpConfig):
+    """Device-side fold prep + training against an HBM-resident dataset.
+
+    Mirrors gan._train_one_indexed: the reference re-fits StandardScaler on
+    the full train fold and selects the labeled subset on host for every cell
+    (mr_nn.py:87-94); profiling showed those host-side fold stacks left the
+    device ~90% idle on wide-feature LOO cells (~600 MB upload per launch).
+    Here X is uploaded once per modality and each cell ships only index
+    vectors; scaling stats, gathers and selection run inside the jit.
+    """
+    mean, inv = gan_mod.scale_stats(X[train_idx])
+
+    def scale(a):
+        return (a - mean) * inv
+
+    return _train_one(
+        key, scale(X[lab_idx]), y[lab_idx], scale(X[test_idx]), y[test_idx],
+        valid_dim=valid_dim, cfg=cfg,
+    )
 
 
 @lru_cache(maxsize=64)
-def _compiled(valid_dim, cfg):
+def _compiled(valid_dim, cfg, with_params=False):
     def one(key, x_lab, y_lab, x_test, y_test):
-        return _train_one(key, x_lab, y_lab, x_test, y_test,
-                          valid_dim=valid_dim, cfg=cfg)
+        err, aux = _train_one(key, x_lab, y_lab, x_test, y_test,
+                              valid_dim=valid_dim, cfg=cfg)
+        return (err, aux) if with_params else err
 
     return jax.jit(jax.vmap(one))
 
 
+@lru_cache(maxsize=64)
+def _compiled_indexed(shapes, valid_dim, cfg, with_params=False):
+    def one(key, X, y, lab_idx, train_idx, test_idx):
+        err, aux = _train_one_indexed(key, X, y, lab_idx, train_idx, test_idx,
+                                      valid_dim=valid_dim, cfg=cfg)
+        return (err, aux) if with_params else err
+
+    return jax.jit(jax.vmap(one, in_axes=(0, None, None, 0, 0, 0)))
+
+
 def train_folds(keys, x_lab, y_lab, x_test, y_test, valid_dim=None,
-                cfg: MlpConfig = MlpConfig()):
+                cfg: MlpConfig = MlpConfig(), with_params=False):
+    """Train F folds fused; returns (F,) errors, or (errors, aux) with the
+    trained parameter stacks when ``with_params`` (used by the activation-map
+    analysis — one trainer code path, no inline duplicates)."""
     if valid_dim is None:
         valid_dim = x_lab.shape[-1]
-    return _compiled(int(valid_dim), cfg)(keys, x_lab, y_lab, x_test, y_test)
+    return _compiled(int(valid_dim), cfg, with_params)(
+        keys, x_lab, y_lab, x_test, y_test)
+
+
+def train_folds_indexed(keys, X, y, lab_idx, train_idx, test_idx,
+                        valid_dim=None, cfg: MlpConfig = MlpConfig(),
+                        with_params=False):
+    """Train F folds against a device-resident (N, D) dataset from (F, *)
+    int32 index vectors (device-side scale/select)."""
+    if valid_dim is None:
+        valid_dim = X.shape[-1]
+    shapes = (lab_idx.shape[-1], train_idx.shape[-1], test_idx.shape[-1])
+    fn = _compiled_indexed(shapes, int(valid_dim), cfg, with_params)
+    return fn(keys, X, y, lab_idx, train_idx, test_idx)
+
+
+def _run_indexed(ds, idx, cfg, rng, mesh=None):
+    """Stack (lab, train, test) index tuples and train fused/sharded."""
+    from ..utils import rng as rng_util
+
+    lab, train, test = (np.stack([f[i] for f in idx]) for i in range(3))
+    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(idx))
+    if mesh is not None and mesh.shape.get("cell", 1) > 1:
+        from ..parallel import sweep
+
+        return sweep.train_mlp_work_indexed(
+            keys, ds.X, ds.y, lab, train, test,
+            valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh)
+    return np.asarray(train_folds_indexed(
+        keys, ds.X, ds.y, lab, train, test,
+        valid_dim=ds.valid_dim, cfg=cfg))
 
 
 def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
                 mesh=None, chunk=6):
     """Leave-one-object-out MLP protocol (mr_nn.py:148-168): the 72 splits
-    share static shapes, so they stack on a work axis and train fused (and
-    mesh-sharded when a multi-device mesh is given), in chunks."""
+    share static shapes, so they stack on a work axis and train fused against
+    ONE device-resident copy of the data (and mesh-sharded when a multi-device
+    mesh is given), in chunks."""
     from . import protocol
 
     rng = np.random.RandomState(seed)
     names = list(objects.keys())
+    x_all = np.concatenate([np.asarray(objects[n]["x"]) for n in names], 0)
+    y_all = np.concatenate([np.asarray(objects[n]["y"]) for n in names], 0)
+    offs = np.cumsum([0] + [len(objects[n]["y"]) for n in names])
+    ds = protocol.DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh)
+    all_rows = np.arange(len(y_all))
+
     errors = []
     for s in range(0, len(names), chunk):
-        block = names[s : s + chunk]
-        folds = [
-            protocol.prepare_fold(*protocol._loo_split(objects, n),
-                                  percentlabeled, None, cfg.num_classes, rng)
-            for n in block
-        ]
-        n_real = len(folds)
-        while len(folds) < min(chunk, len(names)):
-            folds.append(folds[0])
-        stacked = protocol.stack_folds(folds)
-        valid_dim = stacked["x_labeled"].shape[-1]
-        for k in ("x_labeled", "x_test"):
-            stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
-        from ..utils import rng as rng_util
-
-        keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
-        args = (keys, stacked["x_labeled"], stacked["y_labeled"],
-                stacked["x_test"], stacked["y_test"])
-        if mesh is not None and mesh.shape.get("cell", 1) > 1:
-            from ..parallel import sweep
-
-            errs = sweep.train_mlp_work(*args, valid_dim=valid_dim, cfg=cfg,
-                                        mesh=mesh)
-        else:
-            errs = train_folds(*args, valid_dim=valid_dim, cfg=cfg)
-        errors.extend(float(e) for e in np.asarray(errs)[:n_real])
+        block = list(range(s, min(s + chunk, len(names))))
+        idx = []
+        for i in block:
+            test_idx = all_rows[offs[i]: offs[i + 1]]
+            train_idx = np.concatenate(
+                [all_rows[: offs[i]], all_rows[offs[i + 1]:]])
+            lab, _pool, tr, te = protocol.fold_indices(
+                ds.y_host, train_idx, test_idx, percentlabeled, None,
+                cfg.num_classes, rng)
+            idx.append((lab, tr, te))
+        n_real = len(idx)
+        while len(idx) < min(chunk, len(names)):  # pad short final chunk
+            idx.append(idx[0])
+        errs = _run_indexed(ds, idx, cfg, rng, mesh=mesh)[:n_real]
+        errors.extend(float(e) for e in errs)
     return names, np.asarray(errors)
 
 
-def run_mlp_cell(x, y, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
-                 n_splits=6, splits=None):
-    """mr_nn.py table cell: k folds fused; returns per-fold test errors."""
+def run_mlp_cell(x, y=None, percentlabeled=100, cfg: MlpConfig = MlpConfig(),
+                 seed=0, n_splits=6, splits=None, mesh=None):
+    """mr_nn.py table cell: k folds fused against a device-resident dataset;
+    returns per-fold test errors. ``x`` may be a protocol.DeviceDataset."""
     from . import protocol
 
     rng = np.random.RandomState(seed)
+    ds = x if isinstance(x, protocol.DeviceDataset) else protocol.DeviceDataset(
+        x, y, cfg.pad_multiple, mesh=mesh)
     if splits is None:
-        splits = protocol.stratified_splits(y, n_splits=n_splits, seed=seed)
-    folds = [
-        protocol.prepare_fold(x[tr], y[tr], x[te], y[te], percentlabeled,
-                              None, cfg.num_classes, rng)
-        for tr, te in splits
-    ]
-    stacked = protocol.stack_folds(folds)
-    valid_dim = stacked["x_labeled"].shape[-1]
-    for k in ("x_labeled", "x_test"):
-        stacked[k], _ = gan_mod.pad_features(stacked[k], cfg.pad_multiple)
-    from ..utils import rng as rng_util
-
-    keys = rng_util.make_keys(rng.randint(2**31 - 1), len(folds))
-    errs = train_folds(
-        keys, stacked["x_labeled"], stacked["y_labeled"],
-        stacked["x_test"], stacked["y_test"], valid_dim=valid_dim, cfg=cfg,
-    )
-    return np.asarray(errs)
+        splits = protocol.stratified_splits(ds.y_host, n_splits=n_splits,
+                                            seed=seed)
+    idx = []
+    for tr, te in splits:
+        lab, _pool, tr_i, te_i = protocol.fold_indices(
+            ds.y_host, tr, te, percentlabeled, None, cfg.num_classes, rng)
+        idx.append((lab, tr_i, te_i))
+    return _run_indexed(ds, idx, cfg, rng, mesh=mesh)

@@ -29,6 +29,7 @@ class DeviceDataset:
     def __init__(self, x, y, pad_multiple=128, mesh=None, pad_min=0):
         import jax
 
+        self.pad_min = pad_min
         xp, self.valid_dim = gan.pad_features(
             np.asarray(x, np.float32), pad_multiple, pad_min
         )
@@ -167,6 +168,16 @@ def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
     ds = x if isinstance(x, DeviceDataset) else DeviceDataset(
         x, y, cfg.pad_multiple, mesh=mesh, pad_min=cfg.pad_min
     )
+    required = gan.pad_dim(ds.valid_dim, cfg.pad_multiple, cfg.pad_min)
+    if ds.X.shape[-1] < required:
+        # The dataset was padded at construction; a wider cfg.pad_min can't
+        # be applied retroactively, and silently skipping the bucketing
+        # reintroduces the narrow-width backend fault it exists to avoid.
+        raise ValueError(
+            f"DeviceDataset was built with padded width {ds.X.shape[-1]} "
+            f"(pad_min={getattr(ds, 'pad_min', 0)}) but cfg.pad_min="
+            f"{cfg.pad_min} requires width >= {required}; rebuild the "
+            "DeviceDataset with pad_min=cfg.pad_min.")
     if splits is None:
         splits = stratified_splits(ds.y_host, n_splits=n_splits, seed=seed)
     idx = [

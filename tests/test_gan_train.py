@@ -137,3 +137,24 @@ def test_dense_mixed_dtype_matches_truncated_f32():
     want = x @ w.astype(jnp.bfloat16).astype(jnp.float32) + b
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_dense_shadow_respects_explicit_precision():
+    """A caller requesting HIGH/HIGHEST with bf16 shadow params must get the
+    f32-upcast dot (the shadow fast path is only valid at DEFAULT precision)."""
+    import jax
+    import jax.numpy as jnp
+    from mrgan_tpu.models import nets
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    w32 = rng.randn(16, 8).astype(np.float32)
+    p_sh = {"w": jnp.asarray(w32).astype(jnp.bfloat16),
+            "b": jnp.zeros((8,), jnp.float32)}
+    got = nets.dense(p_sh, x, precision=jax.lax.Precision.HIGHEST)
+    want = jnp.dot(x, p_sh["w"].astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    # DEFAULT still takes the mixed fast path and returns f32
+    out = nets.dense(p_sh, x)
+    assert out.dtype == jnp.float32

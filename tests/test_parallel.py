@@ -106,3 +106,63 @@ def test_graft_entry_contract():
     out = jax.jit(fn)(*args)
     assert out.shape == (50, 6)
     g.dryrun_multichip(8)
+
+
+def test_dp_step_matches_global_with_deterministic_noise(monkeypatch):
+    """DP-vs-global equivalence of the full dp_batch_step, per dtype regime.
+
+    The stochastic draws (GaussianNoise, generator z) are layout-dependent
+    (different shard keys draw different values), so for a direct comparison
+    they are pinned to zero; what remains is exactly the deterministic math
+    the three DP collectives must preserve. The losses match tightly; the
+    post-update params match to sub-step-size tolerance (Adam's step-1
+    m/sqrt(v) normalization amplifies fp-reassociation noise in near-zero
+    grads up to O(lr), and the bfloat16 shadow staging additionally rounds
+    each shard's grads to bf16 before the f32 pmean — the softened claim in
+    the spmd module docstring)."""
+    monkeypatch.setattr(jax.random, "normal",
+                        lambda key, shape=(), dtype=jnp.float32:
+                        jnp.zeros(shape, dtype))
+    rng = np.random.RandomState(0)
+    d, batch = 32, 16
+    xl = rng.randn(batch, d).astype(np.float32)
+    yl = rng.randint(0, 6, batch).astype(np.int32)
+    xu = rng.randn(batch, d).astype(np.float32)
+    xu2 = rng.randn(batch, d).astype(np.float32)
+    key = jax.random.PRNGKey(3)
+
+    for wd, atol in (("float32", 3e-4), ("bfloat16", 3e-3)):
+        cfg = gan.GanConfig(noise_size=8, batch_size=batch,
+                            matmul_weight_dtype=wd)
+        params, opt = spmd.init_cells(jax.random.PRNGKey(1), 1, d, cfg)
+        pg0, pd0 = (jax.tree.map(lambda a: a[0], params[k])
+                    for k in ("gen", "disc"))
+        od0, og0 = (jax.tree.map(lambda a: a[0], opt[k]) for k in ("d", "g"))
+
+        want = spmd.dp_batch_step(pg0, pd0, od0, og0, xl, yl, xu, xu2, key,
+                                  cfg=cfg, axis_name=None)
+
+        mesh = _mesh(1, 4)
+
+        def local(pg, pd, od, og, xl, yl, xu, xu2):
+            return spmd.dp_batch_step(pg, pd, od, og, xl, yl, xu, xu2, key,
+                                      cfg=cfg, axis_name="data")
+
+        rep, sh = P(), P("data")
+        got = jax.jit(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(rep, rep, rep, rep, sh, sh, sh, sh),
+            out_specs=(rep, rep, rep, rep, rep),
+            check_vma=False,
+        ))(pg0, pd0, od0, og0, xl, yl, xu, xu2)
+
+        for k in want[4]:
+            np.testing.assert_allclose(float(got[4][k]), float(want[4][k]),
+                                       atol=1e-5, err_msg=f"{wd}/{k}")
+        for name, w, g in (("gen", want[0], got[0]), ("disc", want[1], got[1])):
+            flat_w = jax.tree.leaves(w)
+            flat_g = jax.tree.leaves(g)
+            for a, b in zip(flat_w, flat_g):
+                np.testing.assert_allclose(
+                    np.asarray(b, np.float32), np.asarray(a, np.float32),
+                    atol=atol, err_msg=f"{wd}/{name}")
