@@ -9,3 +9,14 @@ from mrgan_tpu.cli.tables import gan_main
 
 if __name__ == "__main__":
     gan_main()
+
+
+def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=100,
+           trainTestSets=None, verbose=False, **kw):
+    """Reference function API (`from mr_gan import mr_gan`): see
+    mrgan_tpu.train.protocol.mr_gan."""
+    from mrgan_tpu.train import protocol
+
+    return protocol.mr_gan(X, y, percentlabeled=percentlabeled,
+                           percentunlabeled=percentunlabeled, epochs=epochs,
+                           trainTestSets=trainTestSets, verbose=verbose, **kw)

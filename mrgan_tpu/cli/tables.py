@@ -51,7 +51,17 @@ def build_parser(description):
                         help="Bucket narrow feature widths up to this proven-"
                              "safe padded width in the duration sweep "
                              "(table 5); 0 disables")
+    parser.add_argument("--strict", action="store_true",
+                        help="Propagate every cell/build failure instead of "
+                             "recording it and continuing the sweep")
     return parser
+
+
+# Error types that indicate a bug in the driver/config, not a backend fault:
+# these always propagate — recording them as NaN cells would disguise a
+# programming error as a worker crash (ADVICE r1).
+PROGRAMMING_ERRORS = (TypeError, ValueError, KeyError, AttributeError,
+                      IndexError, NameError)
 
 
 class Ctx:
@@ -65,6 +75,7 @@ class Ctx:
         self.model = model_name
         self.ckpt = ckpt_lib.SweepCheckpoint(args.checkpoint)
         self.ms = M.MetricStream(args.metrics)
+        self.failures = []
         self.seed = (np.random.randint(2**31 - 1)
                      if args.seed is None else args.seed)
         self.mesh = None
@@ -90,17 +101,32 @@ class Ctx:
     def build(self, fn, **what):
         """Guarded dataset/frontend construction: returns None on a backend
         fault (the caller skips that sweep section) instead of losing the
-        whole run."""
+        whole run. Programming errors (and everything under --strict)
+        propagate."""
         try:
             return fn()
+        except PROGRAMMING_ERRORS:
+            raise
         except Exception as e:  # noqa: BLE001 — keep the sweep alive
+            if self.args.strict:
+                raise
             M.p(f"[dataset build failed: {what}: {type(e).__name__}: {e}]")
             self.ms.emit("build_failed", model=self.model, **what,
                          error=f"{type(e).__name__}: {e}")
+            self.failures.append(("build", dict(what),
+                                  f"{type(e).__name__}: {e}"))
             return None
 
     def cell(self, fn, **key):
-        """Checkpoint-gated cell execution. fn() -> list of errors."""
+        """Checkpoint-gated cell execution. fn() -> list of errors.
+
+        Failure policy (VERDICT r1): a backend fault retries the cell ONCE
+        with the fold-launch byte budget halved (the known crash class is
+        launch-size-dependent), then records a NaN cell and continues;
+        programming errors, and everything under --strict, propagate. The
+        reference loses its whole multi-hour run here. finish() prints an
+        end-of-run summary of failed cells.
+        """
         import time
 
         from ..utils import profiling
@@ -111,21 +137,50 @@ class Ctx:
         label = "cell:" + ",".join(f"{k}={v}" for k, v in sorted(key.items()))
         t0 = time.perf_counter()
         try:
-            with profiling.annotate(label):
-                errors = [float(e) for e in fn()]
+            try:
+                with profiling.annotate(label):
+                    errors = [float(e) for e in fn()]
+            except PROGRAMMING_ERRORS:
+                raise
+            except Exception as e:  # noqa: BLE001 — retry once, smaller
+                if self.args.strict:
+                    raise
+                M.p(f"[cell fault: {label}: {type(e).__name__}: {e}; "
+                    "retrying once with halved launch budget]")
+                self.ms.emit("cell_retry", model=self.model, **key,
+                             error=f"{type(e).__name__}: {e}")
+                old_budget = protocol.FOLD_LAUNCH_BYTE_BUDGET
+                try:
+                    protocol.FOLD_LAUNCH_BYTE_BUDGET = old_budget / 2
+                    with profiling.annotate(label + ":retry"):
+                        errors = [float(e) for e in fn()]
+                finally:
+                    protocol.FOLD_LAUNCH_BYTE_BUDGET = old_budget
+        except PROGRAMMING_ERRORS:
+            raise
         except Exception as e:  # noqa: BLE001 — keep the sweep alive
-            # A failing cell (e.g. a backend fault) must not lose the rest of
-            # the sweep; record the failure and move on. Re-running the same
-            # command retries only the failed cells (checkpoint skips done
-            # ones). The reference loses its whole multi-hour run here.
+            if self.args.strict:
+                raise
             M.p(f"[cell failed: {label}: {type(e).__name__}: {e}]")
             self.ms.emit("cell_failed", model=self.model, **key,
                          error=f"{type(e).__name__}: {e}")
+            self.failures.append(("cell", dict(key),
+                                  f"{type(e).__name__}: {e}"))
             return np.asarray([float("nan")])
         self.ms.emit("cell", model=self.model, **key, errors=errors,
                      wall_s=round(time.perf_counter() - t0, 3))
         self.ckpt.record(errors, model=self.model, **key)
         return np.asarray(errors)
+
+    def finish(self):
+        """Loud end-of-run failure summary (a sweep with silently-skipped
+        sections must not look successful), then close the metric stream."""
+        if self.failures:
+            M.p(f"[{len(self.failures)} sweep section(s) FAILED — rerun with "
+                "--checkpoint to retry only these]")
+            for kind, what, err in self.failures:
+                M.p(f"  {kind} {what}: {err}")
+        self.ms.close()
 
 
 # ---------------------------------------------------------------------------
@@ -283,7 +338,7 @@ def gan_main(argv=None):
         gan_table5(ctx)
     if "6" in args.tables:
         gan_table6(ctx)
-    ctx.ms.close()
+    ctx.finish()
 
 
 # ---------------------------------------------------------------------------
@@ -350,7 +405,7 @@ def nn_main(argv=None):
         _baseline_table2(ctx, run_cell)
     if "4" in args.tables:
         _baseline_table4(ctx, run_loo)
-    ctx.ms.close()
+    ctx.finish()
 
 
 def svm_main(argv=None):
@@ -378,4 +433,4 @@ def svm_main(argv=None):
         _baseline_table2(ctx, run_cell)
     if "4" in args.tables:
         _baseline_table4(ctx, run_loo)
-    ctx.ms.close()
+    ctx.finish()

@@ -31,14 +31,46 @@ from .. import MATERIALS
 RAW_RATES = {"force": 1000.0, "temperature": 100.0, "contact": 48000.0}
 
 # (temp_drop degC, tau s, stiffness, resonance Hz, audio decay /s, ring amp)
+#
+# The means are chosen so materials form OVERLAPPING clusters with a
+# complementary confusion structure across modalities (the published per-
+# modality accuracies, BASELINE.md, are far from 100%, and fusion helps):
+# - thermal effusivity (drop) groups {metal} >> {ceramic, glass} >>
+#   {plastic, wood} >> {fabric}: temperature confuses within-group pairs;
+# - stiffness groups {metal, ceramic, glass} ~ {wood} ~ {plastic} ~ {fabric}:
+#   force confuses the hard cluster that temperature partially separates;
+# - ring frequency/decay separate glass/ceramic/metal (which force confuses)
+#   but confuse plastic/wood (which force separates).
 _MATERIAL_PHYSICS = {
-    "plastic": (4.0, 1.2, 0.5, 900.0, 60.0, 0.35),
-    "glass": (8.0, 0.8, 0.9, 2400.0, 25.0, 0.8),
-    "fabric": (1.0, 2.5, 0.1, 300.0, 150.0, 0.08),
-    "metal": (14.0, 0.4, 1.0, 3600.0, 15.0, 1.0),
-    "wood": (3.0, 1.5, 0.7, 600.0, 80.0, 0.45),
-    "ceramic": (9.0, 0.7, 0.95, 1800.0, 30.0, 0.7),
+    "plastic": (3.8, 1.30, 0.50, 950.0, 70.0, 0.35),
+    "glass": (7.8, 0.80, 0.88, 2500.0, 18.0, 0.80),
+    "fabric": (1.2, 2.30, 0.12, 320.0, 160.0, 0.10),
+    "metal": (14.0, 0.45, 1.00, 3600.0, 12.0, 1.00),
+    "wood": (3.2, 1.50, 0.65, 650.0, 90.0, 0.40),
+    "ceramic": (8.8, 0.70, 0.92, 1900.0, 22.0, 0.70),
 }
+
+# Hierarchical hardness model (round-2, VERDICT r1 item 1): the round-1
+# generator's classes barely overlapped, so every table curve saturated where
+# the published curves span 43-96%. Difficulty now comes from three levels:
+# - per-OBJECT parameter spreads (multiplicative lognormal sigmas): objects of
+#   neighboring materials overlap (a soft ceramic object behaves like glass),
+#   so class manifolds are wide — full-label accuracy lands below 100%;
+# - per-POKE nuisances: contact quality q (thermal coupling + ring coupling)
+#   and impact velocity v (force peak + audio energy) multiply the class
+#   signal, so ONE poke cannot pin an object's parameters — this is what
+#   makes 1%-label cells hard (the published 62.8% @1% F+T+mic) while
+#   unlabeled pokes still reveal the manifold (the semi-supervised effect);
+# - a class-GENERIC broadband onset click that dominates the first ~15 ms of
+#   audio: short Table-5 mic windows (±25 ms @0.05 s) carry little material
+#   signal, so the duration curve rises (published 63.3 -> 84.6%) instead of
+#   saturating.
+_OBJECT_SPREADS = {
+    "drop": 0.15, "tau": 0.12, "stiff": 0.15, "f0": 0.21, "decay": 0.28,
+    "amp": 0.30,
+}
+_POKE_SIGMA_Q = 0.24   # contact-quality lognormal sigma
+_POKE_SIGMA_V = 0.17   # impact-velocity lognormal sigma
 
 SR = 48000
 
@@ -120,7 +152,7 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
 
 def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                        pokes_per_object=100, objects_per_material=12,
-                       noise_scale=1.0, with_contact=True):
+                       noise_scale=1.0, with_contact=True, hardness=1.0):
     """Synthesize the processed-pickle structure:
     {material: {objName: {'temperature','force0','force1','contact',
     'temperatureTime','forceTime','contactTime': (pokes, n) float32}}}.
@@ -128,45 +160,106 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
     ``with_contact=False`` skips the 48 kHz audio synthesis (the dominant
     cost) for force/temperature-only modalities. The same seed produces the
     same force/temperature streams either way (audio uses a separate RNG).
+
+    ``hardness`` scales the hierarchical difficulty model (see the module
+    constants): 1.0 is calibrated so the table protocols land in the
+    published accuracy bands instead of saturating; 0 collapses the object
+    spreads and poke nuisances (near-separable classes, round-1 behavior).
     """
     rng = np.random.RandomState(seed)
     n_ft = int(100 * forcetemp_time)
     n_c = int(SR * contactmic_time)
     t_ft = np.linspace(-0.1, forcetemp_time, n_ft).astype(np.float32)
     t_c = np.linspace(-contactmic_time / 2, contactmic_time / 2, n_c).astype(np.float32)
+
+    def ospread(key):
+        return float(np.exp(_OBJECT_SPREADS[key] * hardness * rng.randn()))
+
     out = {}
     for material in MATERIALS:
         drop, tau, stiff, f_res, decay, amp = _MATERIAL_PHYSICS[material]
         objects = {}
         for obj in _object_names(material, objects_per_material):
             p = pokes_per_object
-            # per-object factors: the repeatable identity of this object
-            o_drop = drop * rng.uniform(0.75, 1.25)
-            o_tau = tau * rng.uniform(0.8, 1.2)
-            o_stiff = stiff * rng.uniform(0.8, 1.2)
-            o_res = f_res * rng.uniform(0.85, 1.15)
+            # per-object factors: the repeatable identity of this object,
+            # drawn wide enough that neighboring materials' objects overlap
+            o_drop = drop * ospread("drop")
+            o_tau = tau * ospread("tau")
+            o_stiff = stiff * ospread("stiff")
+            o_res = f_res * ospread("f0")
+            o_decay = decay * ospread("decay")
+            o_amp = amp * ospread("amp")
+            # per-object partial structure (how this object's overtones sit)
+            o_part_hi = 2.7 * np.exp(0.06 * hardness * rng.randn())
+            o_part_lo = 0.55 * np.exp(0.06 * hardness * rng.randn())
 
-            # --- temperature: 55C hold, contact cooling after t=0 ---
+            # per-poke nuisances: contact quality q couples the fingertip to
+            # the object (thermal drop, ring energy); impact velocity v sets
+            # the mechanical energy (force peak, audio amplitude). Both
+            # multiply the class signal, so one poke underdetermines the
+            # object's parameters.
+            q = np.exp(_POKE_SIGMA_Q * hardness * rng.randn(p, 1))
+            v = np.exp(_POKE_SIGMA_V * hardness * rng.randn(p, 1))
+
+            # --- temperature: heated fingertip held at ~55C, contact
+            # cooling after t=0; start temp drifts per poke (zeroing drift)
             contact_t = np.maximum(t_ft, 0.0)[None, :]
-            poke_drop = o_drop * rng.uniform(0.9, 1.1, (p, 1))
-            temp = 55.0 - poke_drop * (1.0 - np.exp(-contact_t / o_tau))
-            temp += noise_scale * 0.05 * rng.randn(p, n_ft)
+            start = 55.0 + 0.6 * hardness * rng.randn(p, 1)
+            # thermal coupling grows sub-linearly with contact quality
+            poke_drop = o_drop * q**0.6 * (1 + 0.22 * hardness * rng.randn(p, 1))
+            tau_eff = o_tau * (1 + 0.08 * hardness * rng.randn(p, 1))
+            tau_eff = np.maximum(tau_eff, 0.05)
+            temp = start - poke_drop * (1.0 - np.exp(-contact_t / tau_eff))
+            temp += noise_scale * 0.08 * rng.randn(p, n_ft)
 
-            # --- force: ramp at impact, stiffness-damped oscillation ---
-            peak = 3.0 + 4.0 * o_stiff * rng.uniform(0.85, 1.15, (p, 1))
-            ramp = np.clip(contact_t / 0.05, 0.0, 1.0)
+            # --- force: stiffness shows up in FOUR cues of different
+            # nuisance structure — the peak (confounded with impact velocity
+            # v and quality q), the rise time (soft materials load slowly),
+            # viscoelastic creep of the plateau (soft materials relax; shape
+            # cue, v-invariant), and the contact oscillation frequency
+            # (v-free). Many labels can combine/deconfound them; a handful
+            # cannot — that asymmetry shapes the label-efficiency curve.
+            s_eff = float(np.clip(o_stiff, 0.0, 1.1))
+            peak = (3.0 + 4.0 * o_stiff) * v * q**0.3 \
+                * (1 + 0.05 * rng.randn(p, 1))
+            # impact spike: impulse transient proportional to velocity ALONE
+            # (stiffness-independent) — an explicit v readout that a richly-
+            # labeled model can use to deconfound the peak, but 10 labels per
+            # class cannot
+            spike = 2.5 * v * np.exp(-contact_t / 0.02) \
+                * (1 + 0.08 * rng.randn(p, 1))
+            rise = (0.012 + 0.10 * (1.0 - s_eff)) \
+                * np.exp(0.12 * hardness * rng.randn(p, 1))
+            ramp = 1.0 - np.exp(-contact_t / np.maximum(rise, 1e-3))
+            creep_amt = np.clip(0.5 * (1.0 - s_eff), 0.0, 0.6) \
+                * (1 + 0.10 * hardness * rng.randn(p, 1))
+            t_creep = 0.9 * np.exp(0.15 * hardness * rng.randn())  # per object
+            plateau = 1.0 - creep_amt * (1.0 - np.exp(-contact_t / t_creep))
+            # contact oscillation: the low-frequency analog of the object's
+            # acoustic response (same latent resonance/damping — it is the
+            # same physical contact), scaled into the force sensor's 100 Hz
+            # band. This is what makes the stiff cluster {metal, ceramic,
+            # glass} force-separable at all: their rise times differ by
+            # ~15 ms (sub-sample at 100 Hz) but their ring-down times differ
+            # by hundreds of ms.
+            osc_f = (6.0 + o_res / 250.0) \
+                * (1 + 0.04 * hardness * rng.randn(p, 1))
+            osc_t = (6.0 / o_decay) * (1 + 0.08 * hardness * rng.randn(p, 1))
             osc = (
-                0.5
-                * o_stiff
-                * np.exp(-contact_t / 0.15)
-                * np.sin(2 * np.pi * (8 + 10 * o_stiff) * contact_t)
+                0.5 * o_stiff * (0.5 + 0.7 * o_amp)
+                * np.exp(-contact_t / np.maximum(osc_t, 1e-3))
+                * np.sin(2 * np.pi * osc_f * contact_t)
             )
-            force0 = peak * ramp + peak * osc + noise_scale * 0.05 * rng.randn(p, n_ft)
-            force1 = 0.8 * peak * ramp + peak * osc * 0.7 + noise_scale * 0.05 * rng.randn(p, n_ft)
+            ratio = 0.8 + 0.05 * hardness * rng.randn(p, 1)
+            force0 = peak * ramp * plateau + peak * osc + spike \
+                + noise_scale * 0.08 * rng.randn(p, n_ft)
+            force1 = ratio * peak * ramp * plateau + peak * osc * 0.7 \
+                + 0.9 * spike + noise_scale * 0.08 * rng.randn(p, n_ft)
 
-            # --- contact mic: damped resonant burst at window center ---
-            # separate RNG (seeded from the main stream) so skipping audio
-            # doesn't perturb the force/temperature draws
+            # --- contact mic: class-generic broadband onset click (dominates
+            # the first ~15 ms) + material ringing whose SNR accrues with
+            # window duration; separate RNG (seeded from the main stream) so
+            # skipping audio doesn't perturb the force/temperature draws
             audio_seed = rng.randint(2**31 - 1)
             objects[obj] = {
                 "temperature": temp.astype(np.float32),
@@ -178,21 +271,48 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             if with_contact:
                 arng = np.random.RandomState(audio_seed)
                 tc = t_c[None, :]
-                burst = np.zeros((p, n_c), np.float32)
+                pos = tc >= 0.0
+                ring = np.zeros((p, n_c), np.float64)
                 for mode, (fm, am) in enumerate(
-                    [(o_res, amp), (o_res * 2.3, amp * 0.4),
-                     (o_res * 0.5, amp * 0.6)]
+                    [(o_res, 1.0), (o_res * o_part_hi, 0.4),
+                     (o_res * o_part_lo, 0.6)]
                 ):
                     phase = arng.uniform(0, 2 * np.pi, (p, 1))
                     fm_p = fm * arng.uniform(0.97, 1.03, (p, 1))
-                    burst += (
-                        am
-                        * 200.0
-                        * np.exp(-np.maximum(tc, 0.0) * decay * (1 + mode))
+                    # excitation-dependent mode balance: which partials ring
+                    # depends on where/how the poke lands
+                    am_p = am * np.exp(
+                        0.65 * hardness * arng.randn(p, 1))
+                    dec_p = o_decay * (1 + 0.55 * mode) \
+                        * (1 + 0.10 * hardness * arng.randn(p, 1))
+                    ring += (
+                        am_p
+                        * np.exp(-np.maximum(tc, 0.0) * np.maximum(dec_p, 1.0))
                         * np.sin(2 * np.pi * fm_p * tc + phase)
-                        * (tc >= 0.0)
-                    ).astype(np.float32)
-                contact = burst + noise_scale * 2.0 * arng.randn(p, n_c)
+                        * pos
+                    )
+                # resonance builds up over ~10 ms while the contact settles:
+                # the shortest Table-5 windows (+-25 ms) see mostly the
+                # class-generic click, which is what gives the published mic
+                # duration curve its steep low end (63.3% @0.05 s)
+                t_build = 0.014 * np.exp(0.30 * hardness * arng.randn(p, 1))
+                ring *= 1.0 - np.exp(-np.maximum(tc, 0.0)
+                                     / np.maximum(t_build, 1e-4))
+                ring *= o_amp * 140.0 * v * q
+                # class-generic impact transient: broadband noise burst PLUS
+                # a random-frequency contact ping (the fingertip/object pair
+                # "chirps" at an excitation-dependent frequency unrelated to
+                # material) — the shortest windows see an actively
+                # misleading spectrum, not just a masked one
+                click_env = np.exp(-np.maximum(tc, 0.0) * 280.0) * pos
+                f_click = np.exp(arng.uniform(np.log(600.0), np.log(3800.0),
+                                              (p, 1)))
+                ping = np.sin(2 * np.pi * f_click * tc
+                              + arng.uniform(0, 2 * np.pi, (p, 1)))
+                click = hardness * v * click_env * (
+                    180.0 * ping + 140.0 * arng.randn(p, n_c))
+                noise = noise_scale * 2.5 * arng.randn(p, n_c)
+                contact = ring + click + noise
                 objects[obj]["contact"] = contact.astype(np.float32)
                 objects[obj]["contactTime"] = np.broadcast_to(
                     t_c, (p, n_c)).copy()

@@ -231,7 +231,14 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
             (lab_idx.reshape(nb, bs), u1_idx.reshape(nb, bs),
              u2_idx.reshape(nb, bs), step_keys),
         )
-        return carry, (jnp.mean(ll), jnp.mean(lu), jnp.mean(terr))
+        out = (jnp.mean(ll), jnp.mean(lu), jnp.mean(terr))
+        if cfg.track_epoch_metrics:
+            # per-epoch test pass (mr_gan.py:221-223; its batch mean over the
+            # exactly-covering 50-row test batches equals the full-set mean)
+            logits_e, _ = nets.discriminator_apply(carry[1], x_test,
+                                                   train=False)
+            out += (losses.error_rate(logits_e, y_test),)
+        return carry, out
 
     epoch_keys = jax.random.split(k_run, cfg.epochs)
     carry0 = (params["gen"], params["disc"], opt_d, opt_g)
@@ -244,7 +251,8 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
     logits, _ = nets.discriminator_apply(pd, x_test, train=False)
     test_error = losses.error_rate(logits, y_test)
     out_metrics = (
-        {"loss_lab": metrics[0], "loss_unl": metrics[1], "train_err": metrics[2]}
+        {"loss_lab": metrics[0], "loss_unl": metrics[1],
+         "train_err": metrics[2], "test_err": metrics[3]}
         if cfg.track_epoch_metrics
         else {}
     )
@@ -299,13 +307,16 @@ def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,
 
 
 @lru_cache(maxsize=64)
-def _compiled_indexed_trainer(shapes, valid_dim, cfg, n_pool_valid):
+def _compiled_indexed_trainer(shapes, valid_dim, cfg, n_pool_valid,
+                              with_metrics=False):
     """jit(vmap(train_one_indexed)); X and y broadcast across the fold axis."""
 
     def one(key, X, y, lab_idx, pool_idx, train_idx, test_idx):
-        err, _ = _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx,
-                                    test_idx, valid_dim=valid_dim, cfg=cfg,
-                                    n_pool_valid=n_pool_valid)
+        err, aux = _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx,
+                                      test_idx, valid_dim=valid_dim, cfg=cfg,
+                                      n_pool_valid=n_pool_valid)
+        if with_metrics:
+            return err, {k: v for k, v in aux.items() if k != "params"}
         return err
 
     return jax.jit(jax.vmap(one, in_axes=(0, None, None, 0, 0, 0, 0)))
@@ -330,14 +341,16 @@ def pad_pool_indices(pool_idx, train_idx):
 
 
 def train_folds_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
-                        valid_dim=None, cfg: GanConfig = GanConfig()):
+                        valid_dim=None, cfg: GanConfig = GanConfig(),
+                        with_metrics=False):
     """Train F folds against a device-resident dataset.
 
     Args:
       X: (N, D) padded feature matrix (device-resident; uploaded once).
       y: (N,) int32 labels.
       lab_idx/pool_idx/train_idx/test_idx: (F, *) int32 row indices into X.
-    Returns (F,) test errors.
+    Returns (F,) test errors; with ``with_metrics`` (requires
+    cfg.track_epoch_metrics) returns (errors, {metric: (F, epochs)}).
     """
     if valid_dim is None:
         valid_dim = X.shape[-1]
@@ -345,7 +358,8 @@ def train_folds_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
                                               np.asarray(train_idx))
     shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
               test_idx.shape[-1])
-    fn = _compiled_indexed_trainer(shapes, int(valid_dim), cfg, n_pool_valid)
+    fn = _compiled_indexed_trainer(shapes, int(valid_dim), cfg, n_pool_valid,
+                                   with_metrics)
     return fn(keys, X, y, lab_idx, pool_idx, train_idx, test_idx)
 
 

@@ -11,6 +11,8 @@ Protocol generators (stratified 6-fold, leave-one-object-out over 72 objects)
 match mr_gan.py:255-279.
 """
 
+import dataclasses
+
 import numpy as np
 from sklearn.model_selection import StratifiedKFold
 
@@ -185,6 +187,30 @@ def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
                      cfg.num_classes, rng)
         for tr, te in splits
     ]
+    if verbose:
+        # Per-epoch verbose parity (mr_gan.py:219-227): train with epoch
+        # metrics on (incl. the per-epoch test pass) and print the
+        # reference's epoch line per fold. The fused scan has no per-epoch
+        # host timing, so the time field is the cell wall amortized per
+        # epoch — a documented deviation.
+        import time
+
+        cfg_v = dataclasses.replace(cfg, track_epoch_metrics=True)
+        t0 = time.perf_counter()
+        errs, metrics = run_indexed_folds(ds, idx, cfg_v, rng, mesh=mesh,
+                                          with_metrics=True)
+        dt = (time.perf_counter() - t0) / max(cfg.epochs * len(idx), 1)
+        for f in range(len(errs)):
+            for e in range(cfg.epochs):
+                print("Epoch %d, time = %ds, loss labeled = %.4f, "
+                      "loss unlabeled = %.4f, train error = %.4f, "
+                      "test error = %.4f" % (
+                          e + 1, int(dt), metrics["loss_lab"][f][e],
+                          metrics["loss_unl"][f][e],
+                          metrics["train_err"][f][e],
+                          metrics["test_err"][f][e]))
+            print("Test error:", float(errs[f]))
+        return errs
     return run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)
 
 
@@ -208,12 +234,14 @@ def _fold_launch_chunk(n_folds, feat_dim, n_lab, n_pool, n_train, n_test):
     return -(-n_folds // n_launch)
 
 
-def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
+def run_indexed_folds(ds, idx, cfg, rng, mesh=None, with_metrics=False):
     """Stack per-fold index tuples and train fused against ds.X.
 
     Folds run in as few fused launches as the byte budget allows (all 6 in
     one program at the reference shapes; wide-feature Table-5 audio cells
     split into smaller launches instead of crashing the worker).
+    ``with_metrics`` (requires cfg.track_epoch_metrics) additionally returns
+    {metric: (F, epochs)} from the single-process path.
     """
     from ..utils import rng as rng_util
 
@@ -222,6 +250,8 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
     if mesh is not None and mesh.shape.get("cell", 1) > 1:
         from ..parallel import sweep
 
+        if with_metrics:
+            raise ValueError("with_metrics is single-process only")
         return sweep.train_gan_work_indexed(
             keys, ds.X, ds.y, lab, pool, train, test,
             valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh,
@@ -230,15 +260,21 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None):
         len(idx), ds.X.shape[-1], lab.shape[1], pool.shape[1],
         train.shape[1], test.shape[1],
     )
-    errs = []
+    errs, mets = [], []
     for s in range(0, len(idx), chunk):
         e = gan.train_folds_indexed(
             keys[s : s + chunk], ds.X, ds.y, lab[s : s + chunk],
             pool[s : s + chunk], train[s : s + chunk], test[s : s + chunk],
-            valid_dim=ds.valid_dim, cfg=cfg,
+            valid_dim=ds.valid_dim, cfg=cfg, with_metrics=with_metrics,
         )
+        if with_metrics:
+            e, m = e
+            mets.append({k: np.asarray(v) for k, v in m.items()})
         errs.append(np.asarray(e))
-    return np.concatenate(errs)
+    errs = np.concatenate(errs)
+    if with_metrics:
+        return errs, {k: np.concatenate([m[k] for m in mets]) for k in mets[0]}
+    return errs
 
 
 def run_prepared_folds(folds, cfg, rng, mesh=None):
@@ -331,3 +367,41 @@ def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
             if on_result is not None:
                 on_result(names[i], float(e))
     return names, np.asarray(errors)
+
+
+def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=100,
+           trainTestSets=None, verbose=False, seed=None,
+           cfg: gan.GanConfig = None):
+    """Reference-API standalone training (mr_gan.py:73-88): one GAN training
+    with an INTERNAL stratified split when ``trainTestSets`` is None
+    (train_test_split(test_size=200*6, stratify=y)); returns the scalar test
+    error. The table drivers use run_gan_cell directly — this exists for
+    callers of the reference's ``mr_gan(X, y)`` function API.
+    """
+    from sklearn.model_selection import train_test_split
+
+    if cfg is None:
+        cfg = gan.GanConfig(epochs=epochs)
+    if seed is None:
+        # mr_gan.py:75 deliberately de-seeds ("Non Deterministic output")
+        seed = np.random.randint(2**31 - 1)
+    if trainTestSets is None:
+        idx = np.arange(len(y))
+        tr, te = train_test_split(idx, test_size=200 * cfg.num_classes,
+                                  stratify=y, random_state=seed)
+        x_all, y_all = np.asarray(X, np.float32), np.asarray(y, np.int32)
+    else:
+        x_train, x_test, y_train, y_test = trainTestSets
+        x_all = np.concatenate([np.asarray(x_train, np.float32),
+                                np.asarray(x_test, np.float32)])
+        y_all = np.concatenate([np.asarray(y_train, np.int32),
+                                np.asarray(y_test, np.int32)])
+        tr = np.arange(len(y_train))
+        te = np.arange(len(y_train), len(y_all))
+    if verbose:
+        print("Num of class examples in test set:",
+              [int(np.sum(y_all[te] == i)) for i in range(cfg.num_classes)])
+    errs = run_gan_cell(x_all, y_all, percentlabeled=percentlabeled,
+                        percentunlabeled=percentunlabeled, cfg=cfg, seed=seed,
+                        splits=[(tr, te)], verbose=verbose)
+    return float(errs[0])

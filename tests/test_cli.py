@@ -107,3 +107,118 @@ def test_wganlpctsemi_cli_smoke(capsys, monkeypatch):
     wganlpctsemi.main()
     out = capsys.readouterr().out
     assert "Accuracy" in out or "accuracy" in out
+
+
+def test_gan_verbose_epoch_lines(tiny_grids, capsys):
+    """-v prints the reference's per-epoch line (mr_gan.py:226-227 format),
+    including the per-epoch test pass."""
+    import re
+
+    tables.gan_main(["-t", "1", "--modalities", "2"] + BASE + ["-v"])
+    out = capsys.readouterr().out
+    pat = (r"Epoch 2, time = \d+s, loss labeled = -?\d+\.\d{4}, "
+           r"loss unlabeled = -?\d+\.\d{4}, train error = \d+\.\d{4}, "
+           r"test error = \d+\.\d{4}")
+    assert re.search(pat, out), out[-2000:]
+    # per-epoch lines for each of the 6 folds, 2 epochs each
+    assert len(re.findall(r"^Epoch \d+, time", out, re.M)) == 12
+
+
+def test_mr_gan_function_api():
+    """Reference function API: mr_gan(X, y) with the internal stratified
+    split (mr_gan.py:87-88)."""
+    import mr_gan as mr_gan_mod
+    from mrgan_tpu.train import gan as gan_lib
+
+    rng = np.random.RandomState(0)
+    y = np.tile(np.arange(6, dtype=np.int32), 300)
+    centers = rng.randn(6, 24) * 3
+    x = (centers[y] + rng.randn(1800, 24)).astype(np.float32)
+    cfg = gan_lib.GanConfig(noise_size=8, batch_size=10, epochs=2)
+    err = mr_gan_mod.mr_gan(x, y, percentlabeled=10, seed=3, cfg=cfg)
+    assert isinstance(err, float)
+    assert 0.0 <= err <= 1.0
+
+    # explicit trainTestSets path
+    err2 = mr_gan_mod.mr_gan(
+        None, None, percentlabeled=10, seed=3, cfg=cfg,
+        trainTestSets=(x[:1200], x[1200:], y[:1200], y[1200:]))
+    assert 0.0 <= err2 <= 1.0
+
+
+def test_cell_fault_retries_once_then_records(tiny_grids, capsys):
+    """Backend-fault policy: retry once with halved launch budget, then NaN +
+    end-of-run summary; the sweep continues."""
+    from mrgan_tpu.train import protocol as proto
+
+    calls = {"n": 0, "budgets": []}
+
+    def boom(*a, **kw):
+        calls["n"] += 1
+        calls["budgets"].append(proto.FOLD_LAUNCH_BYTE_BUDGET)
+        raise RuntimeError("simulated worker crash")
+
+    orig = tables.protocol.run_gan_cell
+    tables.protocol.run_gan_cell = boom
+    try:
+        tables.gan_main(["-t", "1", "--modalities", "2"] + BASE)
+    finally:
+        tables.protocol.run_gan_cell = orig
+    out = capsys.readouterr().out
+    assert calls["n"] == 2  # original + one retry
+    assert calls["budgets"][1] == calls["budgets"][0] / 2
+    assert proto.FOLD_LAUNCH_BYTE_BUDGET == calls["budgets"][0]  # restored
+    assert "retrying once with halved launch budget" in out
+    assert "1 sweep section(s) FAILED" in out
+    assert "nan" in out.lower()
+
+
+def test_cell_fault_retry_succeeds(tiny_grids, capsys):
+    from mrgan_tpu.train import protocol as proto
+
+    calls = {"n": 0}
+    orig = tables.protocol.run_gan_cell
+
+    def flaky(*a, **kw):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("simulated worker crash")
+        return orig(*a, **kw)
+
+    tables.protocol.run_gan_cell = flaky
+    try:
+        tables.gan_main(["-t", "1", "--modalities", "2"] + BASE)
+    finally:
+        tables.protocol.run_gan_cell = orig
+    out = capsys.readouterr().out
+    assert calls["n"] == 2
+    assert "FAILED" not in out
+    assert "Average error:" in out
+    assert proto.FOLD_LAUNCH_BYTE_BUDGET > 1e9  # restored
+
+
+def test_cell_programming_error_propagates(tiny_grids):
+    def bug(*a, **kw):
+        raise TypeError("bad kwarg")
+
+    orig = tables.protocol.run_gan_cell
+    tables.protocol.run_gan_cell = bug
+    try:
+        with pytest.raises(TypeError):
+            tables.gan_main(["-t", "1", "--modalities", "2"] + BASE)
+    finally:
+        tables.protocol.run_gan_cell = orig
+
+
+def test_cell_strict_propagates_backend_fault(tiny_grids):
+    def boom(*a, **kw):
+        raise RuntimeError("simulated worker crash")
+
+    orig = tables.protocol.run_gan_cell
+    tables.protocol.run_gan_cell = boom
+    try:
+        with pytest.raises(RuntimeError):
+            tables.gan_main(["-t", "1", "--modalities", "2", "--strict"]
+                            + BASE)
+    finally:
+        tables.protocol.run_gan_cell = orig
