@@ -44,6 +44,12 @@ class WganConfig:
     gen_iters: int = 1
     num_classes: int = 6
     arch: str = "resnet"        # 'resnet' = iwgan; 'lstm' = iwganlstm
+    algo: str = "iwgan"         # loss family: 'iwgan'/'iwganlstm' (WGAN-LP-CT)
+                                # or 'gan'/'ganlstm' (wganlpctsemi.py:340-345,
+                                # 379-388: labeled loss with a fake softplus
+                                # term, no penalties; generator matches batch
+                                # means of the discriminator MID features
+                                # ('gan') or OUTPUT logits ('ganlstm'))
     gen_hidden: int = 64        # 16 for iwganlstm (wganlpctsemi.py:300-304)
     disc_width: int = 128
     disc_blocks: int = 4
@@ -55,7 +61,22 @@ class WganConfig:
 def iwganlstm_config(**kw):
     """The reference's iwganlstm hyperparameters (wganlpctsemi.py:300-318,
     354, 414): biLSTM(4) discriminator, 16-wide generator, lamb=5, lr=1e-3."""
-    return WganConfig(arch="lstm", gen_hidden=16, lamb=5.0, lr=1e-3, **kw)
+    return WganConfig(arch="lstm", algo="iwganlstm", gen_hidden=16, lamb=5.0,
+                      lr=1e-3, **kw)
+
+
+def ganlstm_config(**kw):
+    """The 'ganlstm' algorithm (wganlpctsemi.py:384-388): the biLSTM
+    discriminator arch with the gan-family labeled loss and a generator that
+    feature-matches the batch means of the discriminator's OUTPUT logits.
+    The reference file defines no optimizer or epochs for this branch (it
+    predates the iwgan overrides and would hit its undefined
+    `classification_loss`/`adam` names); this port completes it with the
+    iwganlstm optimizer (Adam 1e-3, beta1 0.5, beta2 0.9) and the learnGAN
+    default epochs=100 — documented as this repo's choice."""
+    kw.setdefault("epochs", 100)
+    return WganConfig(arch="lstm", algo="ganlstm", gen_hidden=16, lr=1e-3,
+                      **kw)
 
 
 def init_params(key, feat_dim, cfg: WganConfig):
@@ -118,11 +139,22 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test, *, n_train,
         # per-row eps repeated across features (wganlpctsemi.py:459)
         eps = jax.random.uniform(k_eps, (bs, 1))
 
+        gan_family = cfg.algo in ("gan", "ganlstm")
+
         def d_loss(pd_):
             logits_lab, _ = disc_fwd(pd_, xl, k_d1)
-            logits_unl, _ = disc_fwd(pd_, xu, k_d2)
             logits_fake, _ = disc_fwd(pd_, x_fake, k_d3)
             ll = losses.loss_labeled(logits_lab, yl)
+            terr = losses.error_rate(logits_lab, yl)
+            if gan_family:
+                # wganlpctsemi.py:340-343: labeled loss + 0.5*softplus
+                # fake term; no unlabeled loss, no LP/CT penalties
+                from jax.scipy.special import logsumexp
+
+                lf = 0.5 * jnp.mean(
+                    jax.nn.softplus(logsumexp(logits_fake, axis=1)))
+                return ll + lf, (ll, lf, terr)
+            logits_unl, _ = disc_fwd(pd_, xu, k_d2)
             lu = losses.loss_unlabeled_wgan(logits_unl, logits_fake)
             gp = losses.lipschitz_penalty(
                 lambda m: disc_fwd(pd_, m, k_mix)[0], xu, x_fake, eps
@@ -130,7 +162,6 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test, *, n_train,
             l1, m1 = disc_fwd(pd_, xu, k_ct1)
             l2, m2 = disc_fwd(pd_, xu, k_ct2)
             ct = losses.consistency_term(l1, l2, m1, m2, k_ctn)
-            terr = losses.error_rate(logits_lab, yl)
             return ll + lu + cfg.lamb * gp + cfg.lamb2 * ct, (ll, lu, terr)
 
         grads, aux = jax.grad(d_loss, has_aux=True)(pd)
@@ -139,12 +170,22 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test, *, n_train,
 
     def gen_step(pg, pd, og, inputs):
         xu, k = inputs
-        k_z, k_d = jax.random.split(k)
+        k_z, k_d, k_d2 = jax.random.split(k, 3)
         z = jax.random.normal(k_z, (bs, cfg.noise_size))
 
         def g_loss(pg_):
             xf = vnets.small_generator_apply(pg_, z)
-            logits, _ = disc_fwd(pd, xf, k_d)
+            logits, mid = disc_fwd(pd, xf, k_d)
+            if cfg.algo == "ganlstm":
+                # wganlpctsemi.py:384-388: match batch means of the
+                # discriminator's OUTPUT logits (no mid tap)
+                logits_real, _ = disc_fwd(pd, xu, k_d2)
+                return jnp.mean(jnp.square(jnp.mean(logits, 0)
+                                           - jnp.mean(logits_real, 0)))
+            if cfg.algo == "gan":
+                # wganlpctsemi.py:379-383: Salimans feature matching on mid
+                _, mid_real = disc_fwd(pd, xu, k_d2)
+                return losses.loss_feature_matching(mid, mid_real)
             return -jnp.mean(logits)  # wganlpctsemi.py:398
 
         grads = jax.grad(g_loss)(pg)

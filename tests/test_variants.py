@@ -203,3 +203,33 @@ def test_load_lumini_dataset_files(tmp_path):
     assert row[1] == "oak" and row[2] == 100
     assert row[3:7] == [1.0, 2.0, 3.0, 4.0]      # original
     assert row[7:] == [2.0, 3.0, 4.0, 5.0]       # corrected
+
+
+def test_ganlstm_cell_learns_blobs():
+    """The 'ganlstm' algorithm (wganlpctsemi.py:384-388): biLSTM disc, gan
+    labeled loss, output-logit feature matching. Must learn separable blobs."""
+    rng = np.random.RandomState(5)
+    y = np.tile(np.arange(6, dtype=np.int32), 40)  # balanced -> equal folds
+    centers = rng.randn(6, 16) * 3
+    x = (centers[y] + rng.randn(240, 16)).astype(np.float32)
+    cfg = wgan.ganlstm_config(noise_size=8, batch_size=16, epochs=50,
+                              pad_multiple=1)
+    assert cfg.algo == "ganlstm" and cfg.arch == "lstm"
+    errs = wgan.run_wgan_cell(x, y, percent_labeled=0.5, cfg=cfg, seed=0,
+                              n_splits=3)
+    assert errs.shape == (3,)
+    assert np.all(np.isfinite(errs))
+    assert np.mean(errs) < 0.4
+
+
+def test_gan_algo_uses_feature_matching_and_learns():
+    rng = np.random.RandomState(6)
+    y = np.tile(np.arange(6, dtype=np.int32), 40)  # balanced -> equal folds
+    centers = rng.randn(6, 16) * 3
+    x = (centers[y] + rng.randn(240, 16)).astype(np.float32)
+    cfg = wgan.WganConfig(algo="gan", noise_size=8, batch_size=16, epochs=15,
+                          disc_width=32, pad_multiple=1)
+    errs = wgan.run_wgan_cell(x, y, percent_labeled=0.5, cfg=cfg, seed=0,
+                              n_splits=3)
+    assert np.all(np.isfinite(errs))
+    assert np.mean(errs) < 0.4

@@ -3,7 +3,7 @@
 python wganlpctsemi.py -t 0 -a iwgan [-v]  (others/wganlpctsemi.py:510-796).
 
 Grid-search harness over the variant algorithm zoo (svm / nn / lstm / rf /
-gan / iwgan / iwganlstm) with k-fold CV on the haptic force+temperature
+gan / ganlstm / iwgan / iwganlstm) with k-fold CV on the haptic force+temperature
 features. Unlike the reference's enforced single-threaded determinism
 (wganlpctsemi.py:6-17), determinism here comes free from JAX PRNG keys.
 """
@@ -26,6 +26,13 @@ def run_fold(algorithm, x_tr, y_tr, x_te, y_te, fraction, pca, scale, kernel,
 
         if algorithm == "iwganlstm":
             cfg = wgan.iwganlstm_config(batch_size=128, epochs=100)
+        elif algorithm == "ganlstm":
+            cfg = wgan.ganlstm_config(batch_size=128)
+        elif algorithm == "gan":
+            # gan-family losses (labeled + fake softplus, mid feature
+            # matching) on the iwgan arch — the reference defines no arch
+            # for 'gan' (its own file would crash on undefined names)
+            cfg = wgan.WganConfig(algo="gan")
         else:
             cfg = wgan.WganConfig()
         # run a single prepared fold through the fused trainer
@@ -70,7 +77,7 @@ def main():
                         help="Which test? (0) K-fold CV, (1) Generalizing to "
                              "many new objects, (2) Leave-one-object-out")
     parser.add_argument("-a", "--algorithm", nargs="+", required=True,
-                        help="svm, nn, lstm, rf, gan, iwgan, iwganlstm")
+                        help="svm, nn, lstm, rf, gan, ganlstm, iwgan, iwganlstm")
     parser.add_argument("-v", "--verbose", action="store_true")
     parser.add_argument("--synthetic", action="store_true")
     parser.add_argument("--synthetic-pokes", type=int, default=100)
@@ -100,6 +107,7 @@ def main():
             "iwgan": ([0], ["scale"], [None]),
             "iwganlstm": ([0], ["norm"], [None]),
             "gan": ([0], ["scale"], [None]),
+            "ganlstm": ([0], ["norm"], [None]),
             "lstm": ([0], ["scale"], [None]),
             "nn": ([0], ["norm"], [None]),
             "svm": ([0], ["scale"], [1]),
@@ -113,6 +121,7 @@ def main():
             "svm": "Training with an SVM",
             "rf": "Training with a random forest",
             "gan": "Training with a GAN",
+            "ganlstm": "Training with a GAN biLSTM",
         }
         print(titles[algorithm])
         best_scores, best_parameter_sets = [], []
