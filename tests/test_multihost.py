@@ -9,6 +9,7 @@ work axis exactly once across process ranks.
 """
 
 import jax
+import pytest
 import numpy as np
 
 from mrgan_tpu.parallel import multihost
@@ -47,3 +48,43 @@ def test_shard_work_partition_covers_exactly(monkeypatch):
         spans.append(multihost.shard_work_across_processes(8))
     covered = [i for s, e in spans for i in range(s, e)]
     assert covered == list(range(8))
+
+
+@pytest.mark.slow
+def test_two_process_dcn_smoke():
+    """Launch 2 real processes (4 virtual CPU devices each), initialize
+    jax.distributed over a local coordinator, build the cross-process cell
+    mesh, and train a sharded 8-cell GAN workload; each process asserts the
+    sharded results equal its single-process recomputation (VERDICT r1 #8)."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    addr = f"127.0.0.1:{port}"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env["JAX_PLATFORMS"] = "cpu"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    child = os.path.join(root, "tests", "_dcn_child.py")
+    procs = [
+        subprocess.Popen([sys.executable, child, addr, str(i)], env=env,
+                         cwd=root, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out[-4000:]}"
+        assert f"DCN_SMOKE_OK process={i}" in out, out[-2000:]

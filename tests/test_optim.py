@@ -2,6 +2,7 @@
 lr_t = lr*sqrt(1-b2^t)/(1-b1^t); p -= lr_t * m/(sqrt(v)+eps) — eps OUTSIDE
 the bias-corrected sqrt, unlike optax.adam."""
 
+import jax
 import numpy as np
 import jax.numpy as jnp
 
@@ -37,3 +38,24 @@ def test_adam_two_steps_bias_correction():
         lr_t = lr * np.sqrt(1 - b2**t) / (1 - b1**t)
         w = w - lr_t * m / (np.sqrt(v) + eps)
     np.testing.assert_allclose(float(p["w"][0]), w, rtol=1e-4)  # f32
+
+
+def test_bf16_shadow_bitwise_exact_on_tpu():
+    """HARDWARE-GATED (VERDICT r1 #9): on a TPU backend, dense() through the
+    bf16 shadow must be bitwise identical to the DEFAULT-precision f32 dot
+    (the MXU truncates f32 operands to bf16 per pass either way). The repo
+    suite pins CPU via conftest, so here this skips; it runs wherever pytest
+    runs on a chip, and tools/check_shadow_exactness.py is the standalone
+    hardware check used by the verification flow."""
+    import pytest
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        pytest.skip("TPU-only invariant (CPU computes f32 dots exactly)")
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools import check_shadow_exactness as chk
+
+    for m, k, n in [(150, 1280, 1000), (50, 100, 500)]:
+        bits_equal, maxdiff = chk.check(m, k, n, seed=m)
+        assert bits_equal, f"{m}x{k}x{n}: max diff {maxdiff}"
