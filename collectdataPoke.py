@@ -65,7 +65,10 @@ def main():
     collector = collect.CollectData(
         args.name, server.address, clock, control,
         sequences_per_object=args.seqs, start_count=args.startcount,
-        vertical_movement=args.vertmove, data_dir=args.data_dir, verbose=True)
+        vertical_movement=args.vertmove, data_dir=args.data_dir, verbose=True,
+        flat=args.flat, quarterflat=args.quarterflat,
+        rotateonce=args.rotateonce, handle=args.handle,
+        neverrotate=args.neverrotate)
     try:
         saved = collector.performInteraction(rng=np.random)
         print("Saved:", saved)

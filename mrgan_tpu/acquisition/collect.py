@@ -28,7 +28,9 @@ class CollectData:
     def __init__(self, object_name, bus_address, clock, controller,
                  sequences_per_object=25, start_count=0, save_batch_size=25,
                  vertical_movement=False, poke_distance=0.1,
-                 data_dir="data_raw", hz=1000, verbose=False):
+                 data_dir="data_raw", hz=1000, verbose=False,
+                 flat=False, quarterflat=False, rotateonce=False,
+                 handle=False, neverrotate=False, pause_input=None):
         self.objectName = object_name
         self.clock = clock
         self.control = controller
@@ -40,6 +42,18 @@ class CollectData:
         self.dataDir = data_dir
         self.hz = hz
         self.verbose = verbose
+        # platter-rotation geometry flags (collectdataPoke.py:411-428): the
+        # left gripper holds the object platter; rotating its wrist between
+        # pokes lands each poke on a fresh spot
+        self.flat = flat
+        self.quarterflat = quarterflat
+        self.rotateonce = rotateonce
+        self.handle = handle
+        self.neverrotate = neverrotate
+        # pause hook (collectdataPoke.py:301-305 polls stdin via select);
+        # None = poll sys.stdin when it is a tty, callable = injected check
+        # returning True when the operator asked to pause (tests use this)
+        self.pauseInput = pause_input
 
         self.zeroing = False
         self.recording = False
@@ -211,6 +225,56 @@ class CollectData:
         if self.verbose:
             print("Temperature sensor reheated to:", self.temperatureReheat)
 
+    # -- platter rotation (collectdataPoke.py:289-296, 381-390) --------------
+
+    def _rotation_catchup(self):
+        """Resume support: rotate the platter to where poke ``startCount``
+        would have left it (collectdataPoke.py:289-296), so --startcount
+        restarts land on un-poked surface."""
+        sc, seq = self.startCount, self.sequencesPerObject
+        if sc == 0 or self.neverrotate:
+            return
+        if (self.flat or self.rotateonce) and sc == int(seq / 2.0):
+            self.control.rotateGripperWrist(np.pi)
+        elif self.quarterflat and sc >= int(seq / 4.0):
+            self.control.rotateGripperWrist(
+                np.pi / 2.0 * (sc // int(seq / 4.0)))
+        elif not self.flat and not self.quarterflat and not self.rotateonce:
+            per = (2 * np.pi if not self.handle
+                   else 2 * np.pi - np.pi / 2.0) / seq
+            self.control.rotateGripperWrist(per * sc)
+
+    def _rotate_after(self, i):
+        """Per-poke rotation schedule (collectdataPoke.py:381-390)."""
+        seq = self.sequencesPerObject
+        if self.neverrotate:
+            return
+        if (self.flat or self.rotateonce) and i == int(seq / 2.0) - 1:
+            self.control.rotateGripperWrist(np.pi)
+        elif self.quarterflat and (i + 1) % int(seq / 4.0) == 0:
+            self.control.rotateGripperWrist(np.pi / 2.0)
+        elif not self.flat and not self.quarterflat and not self.rotateonce:
+            self.control.rotateGripperWrist(
+                (2 * np.pi if not self.handle
+                 else 2 * np.pi - np.pi / 2.0) / seq)
+
+    def _maybe_pause(self):
+        """Pause-on-keypress (collectdataPoke.py:301-305): a pending stdin
+        line pauses until the operator presses enter again."""
+        if self.pauseInput is not None:
+            if self.pauseInput():
+                input("Program paused. Press enter to continue")
+            return
+        import select
+        import sys
+
+        if not sys.stdin.isatty():
+            return
+        ii, _, _ = select.select([sys.stdin], [], [], 0.0001)
+        if ii:
+            sys.stdin.readline()
+            input("Program paused. Press enter to continue")
+
     # -- poke loop (collectdataPoke.py:245-408) ------------------------------
 
     def performInteraction(self, init_right_pos=(0.495, -0.1, 0.08),
@@ -224,6 +288,9 @@ class CollectData:
             self.control.world.set_start(start_pos)
 
         self.reheat()
+        self._rotation_catchup()
+        if self.verbose:
+            print("Press enter at any point to pause the program")
         index = 2 if self.vertical else 1
         axis_delta = np.zeros(3)
         axis_delta[index] = (self.pokeDistance if not self.vertical
@@ -232,6 +299,7 @@ class CollectData:
 
         i = self.startCount
         for i in range(self.startCount, self.sequencesPerObject):
+            self._maybe_pause()
             self.beginNewDataSequence()
             motiontime = rng.uniform(1.5, 2.5)
             self.startTime = self.clock.now()
@@ -278,9 +346,10 @@ class CollectData:
                 print("Iteration %d collected, collision times:" % i,
                       (self.collisionTimeForce, self.collisionTimeTemp))
 
-            # retreat and reheat (:377-399)
+            # retreat, rotate the platter, and reheat (:377-399)
             self.control.moveGripperTo(start_pos, init_right_rpy, timeout=1.0,
                                        wait=True, rightArm=True)
+            self._rotate_after(i)
             if (i + 1) % self.saveBatchSize == 0:
                 saved.append(self.saveData(batch=(i + 1) // self.saveBatchSize))
                 self.resetData()

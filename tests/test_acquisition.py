@@ -143,3 +143,81 @@ def test_full_collection_to_processed(tmp_path):
     assert np.asarray(processed["temperature"]).shape == (2, 200)
     assert np.asarray(processed["contact"]).shape == (2, 4800)
     assert np.asarray(processed["force0"]).shape == (2, 200)
+
+
+def test_platter_rotation_schedule_and_catchup():
+    """Rotation behaviors (collectdataPoke.py:289-296, 381-390): per-poke
+    schedule per geometry flag, and --startcount resume rotates the platter
+    to where it would have been."""
+    import numpy as np
+
+    from mrgan_tpu.acquisition import collect
+
+    class FakeControl:
+        world = None
+
+        def __init__(self):
+            self.angle = 0.0
+
+        def rotateGripperWrist(self, a):
+            self.angle += a
+
+    def make(seq=8, sc=0, **kw):
+        c = collect.CollectData.__new__(collect.CollectData)
+        c.sequencesPerObject = seq
+        c.startCount = sc
+        c.control = FakeControl()
+        for f in ("flat", "quarterflat", "rotateonce", "handle",
+                  "neverrotate"):
+            setattr(c, f, kw.get(f, False))
+        return c
+
+    # default: 2pi/seq per poke; catch-up at sc equals sc pokes' worth
+    c = make(seq=8)
+    for i in range(4):
+        c._rotate_after(i)
+    cu = make(seq=8, sc=4)
+    cu._rotation_catchup()
+    np.testing.assert_allclose(cu.control.angle, c.control.angle)
+    np.testing.assert_allclose(c.control.angle, 2 * np.pi / 8 * 4)
+
+    # handle: 2pi - pi/2 total
+    c = make(seq=8, handle=True)
+    for i in range(8):
+        c._rotate_after(i)
+    np.testing.assert_allclose(c.control.angle, 2 * np.pi - np.pi / 2)
+
+    # flat: one pi rotation at the halfway poke
+    c = make(seq=8, flat=True)
+    for i in range(8):
+        c._rotate_after(i)
+    np.testing.assert_allclose(c.control.angle, np.pi)
+    cu = make(seq=8, sc=4, flat=True)
+    cu._rotation_catchup()
+    np.testing.assert_allclose(cu.control.angle, np.pi)
+
+    # quarterflat: pi/2 every quarter
+    c = make(seq=8, quarterflat=True)
+    for i in range(8):
+        c._rotate_after(i)
+    np.testing.assert_allclose(c.control.angle, 4 * (np.pi / 2))
+
+    # neverrotate: nothing moves
+    c = make(seq=8, neverrotate=True, sc=5)
+    c._rotation_catchup()
+    for i in range(8):
+        c._rotate_after(i)
+    assert c.control.angle == 0.0
+
+
+def test_pause_on_keypress_hook(monkeypatch):
+    from mrgan_tpu.acquisition import collect
+
+    c = collect.CollectData.__new__(collect.CollectData)
+    flags = iter([True, False])
+    c.pauseInput = lambda: next(flags)
+    paused = []
+    monkeypatch.setattr("builtins.input", lambda *a: paused.append(a))
+    c._maybe_pause()   # pending keypress -> pauses once
+    c._maybe_pause()   # nothing pending -> no pause
+    assert len(paused) == 1
