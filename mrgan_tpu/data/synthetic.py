@@ -66,7 +66,7 @@ _MATERIAL_PHYSICS = {
 #   signal, so the duration curve rises (published 63.3 -> 84.6%) instead of
 #   saturating.
 _OBJECT_SPREADS = {
-    "drop": 0.15, "tau": 0.12, "stiff": 0.15, "f0": 0.21, "decay": 0.28,
+    "drop": 0.15, "tau": 0.12, "stiff": 0.15, "f0": 0.26, "decay": 0.28,
     "amp": 0.30,
 }
 _POKE_SIGMA_Q = 0.24   # contact-quality lognormal sigma
