@@ -22,6 +22,7 @@ the table CLIs consume synthetic and real data through one code path.
 """
 
 import numpy as np
+import scipy.signal
 
 from .. import MATERIALS
 
@@ -71,6 +72,24 @@ _OBJECT_SPREADS = {
 }
 _POKE_SIGMA_Q = 0.24   # contact-quality lognormal sigma
 _POKE_SIGMA_V = 0.17   # impact-velocity lognormal sigma
+
+# First-order measurement lag (sensor dynamics): the thermistor sits behind
+# the fingertip's thermal mass (~0.35 s response) and the fingertip force
+# readout is band-limited (~30 ms). Short Table-5 windows therefore see an
+# attenuated, delayed signal — the published duration curves' steep low end
+# (temp 58.9% @0.1 s vs 82.1% @4 s) — while windows >> the lag are
+# unaffected.
+_TEMP_SENSOR_TAU = 0.35
+_FORCE_SENSOR_TAU = 0.030
+
+
+def _sensor_lag(x, tau, dt):
+    """First-order low-pass along the time axis (rows = pokes)."""
+    if tau <= 0:
+        return x
+    a = dt / (tau + dt)
+    return scipy.signal.lfilter([a], [1.0, -(1.0 - a)], x, axis=-1,
+                                zi=(1.0 - a) * x[..., :1])[0]
 
 SR = 48000
 
@@ -210,6 +229,9 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             tau_eff = o_tau * (1 + 0.08 * hardness * rng.randn(p, 1))
             tau_eff = np.maximum(tau_eff, 0.05)
             temp = start - poke_drop * (1.0 - np.exp(-contact_t / tau_eff))
+            dt = float(t_ft[1] - t_ft[0]) if n_ft > 1 else 0.01
+            t_sens = _TEMP_SENSOR_TAU * np.exp(0.15 * hardness * rng.randn())
+            temp = _sensor_lag(temp, t_sens * hardness, dt)
             temp += noise_scale * 0.08 * rng.randn(p, n_ft)
 
             # --- force: stiffness shows up in FOUR cues of different
@@ -251,10 +273,13 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 * np.sin(2 * np.pi * osc_f * contact_t)
             )
             ratio = 0.8 + 0.05 * hardness * rng.randn(p, 1)
-            force0 = peak * ramp * plateau + peak * osc + spike \
-                + noise_scale * 0.08 * rng.randn(p, n_ft)
-            force1 = ratio * peak * ramp * plateau + peak * osc * 0.7 \
-                + 0.9 * spike + noise_scale * 0.08 * rng.randn(p, n_ft)
+            f0_sig = _sensor_lag(peak * ramp * plateau + peak * osc + spike,
+                                 _FORCE_SENSOR_TAU * hardness, dt)
+            f1_sig = _sensor_lag(ratio * peak * ramp * plateau
+                                 + peak * osc * 0.7 + 0.9 * spike,
+                                 _FORCE_SENSOR_TAU * hardness, dt)
+            force0 = f0_sig + noise_scale * 0.08 * rng.randn(p, n_ft)
+            force1 = f1_sig + noise_scale * 0.08 * rng.randn(p, n_ft)
 
             # --- contact mic: class-generic broadband onset click (dominates
             # the first ~15 ms) + material ringing whose SNR accrues with
@@ -291,11 +316,12 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                         * np.sin(2 * np.pi * fm_p * tc + phase)
                         * pos
                     )
-                # resonance builds up over ~10 ms while the contact settles:
+                # resonance builds up over ~25 ms while the contact settles:
                 # the shortest Table-5 windows (+-25 ms) see mostly the
                 # class-generic click, which is what gives the published mic
-                # duration curve its steep low end (63.3% @0.05 s)
-                t_build = 0.014 * np.exp(0.30 * hardness * arng.randn(p, 1))
+                # duration curve its steep low end (63.3% @0.05 s); windows
+                # >=0.2 s (100 ms post-contact) are barely attenuated
+                t_build = 0.026 * np.exp(0.30 * hardness * arng.randn(p, 1))
                 ring *= 1.0 - np.exp(-np.maximum(tc, 0.0)
                                      / np.maximum(t_build, 1e-4))
                 ring *= o_amp * 140.0 * v * q

@@ -26,6 +26,10 @@ class MlpConfig:
     beta1: float = 0.9
     num_classes: int = 6
     pad_multiple: int = 128
+    pad_min: int = 0
+    # pad_min buckets narrow feature widths up to a proven-safe width, same
+    # as gan.GanConfig.pad_min: the deterministic TPU backend fault on
+    # narrow widths (observed at 640, STATUS.md) hits this trainer too.
     matmul_weight_dtype: str = "bfloat16"
     # bf16 shadow weights for the matmul passes, exactly as in
     # gan.GanConfig.matmul_weight_dtype (bitwise-identical dots on the MXU;
@@ -184,7 +188,8 @@ def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
     x_all = np.concatenate([np.asarray(objects[n]["x"]) for n in names], 0)
     y_all = np.concatenate([np.asarray(objects[n]["y"]) for n in names], 0)
     offs = np.cumsum([0] + [len(objects[n]["y"]) for n in names])
-    ds = protocol.DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh)
+    ds = protocol.DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh,
+                                pad_min=cfg.pad_min)
     all_rows = np.arange(len(y_all))
 
     errors = []
@@ -215,7 +220,7 @@ def run_mlp_cell(x, y=None, percentlabeled=100, cfg: MlpConfig = MlpConfig(),
 
     rng = np.random.RandomState(seed)
     ds = x if isinstance(x, protocol.DeviceDataset) else protocol.DeviceDataset(
-        x, y, cfg.pad_multiple, mesh=mesh)
+        x, y, cfg.pad_multiple, mesh=mesh, pad_min=cfg.pad_min)
     if splits is None:
         splits = protocol.stratified_splits(ds.y_host, n_splits=n_splits,
                                             seed=seed)
