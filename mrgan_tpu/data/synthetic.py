@@ -295,8 +295,29 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             }
             if with_contact:
                 arng = np.random.RandomState(audio_seed)
-                tc = t_c[None, :]
+                # collision-detection latency: the processed mic window is
+                # centered on the >1 degC thermal-delta detection time
+                # (reference temperaturepublisher.py:86-93 feeding
+                # processdata.py:79-80), which fires tens of ms AFTER the
+                # mechanical impact with poke-to-poke jitter. In window
+                # coordinates the acoustic event sits at -latency, so the
+                # shortest Table-5 windows (+-25 ms) lose a varying fraction
+                # of the onset and early ring — their mel frames decohere
+                # across pokes — while +-100 ms windows keep everything.
+                lat = hardness * 0.024 * np.exp(1.0 * arng.randn(p, 1))
+                tc = t_c[None, :] + lat
                 pos = tc >= 0.0
+                # contact stiffening: modal frequencies settle onto their
+                # free-ring values over ~15 ms as the fingertip loads the
+                # object, so the instantaneous frequency glides by up to
+                # ~20 % early on. A +-25 ms window integrates mostly glide
+                # (smeared spectral peak, f0 unreadable); >=0.1 s windows
+                # are dominated by the settled tone.
+                t_settle = 0.015
+                chirp_c = 0.22 * hardness * arng.randn(p, 1)
+                tpos = np.maximum(tc, 0.0)
+                warp = tpos + chirp_c * t_settle \
+                    * (1.0 - np.exp(-tpos / t_settle))
                 ring = np.zeros((p, n_c), np.float64)
                 for mode, (fm, am) in enumerate(
                     [(o_res, 1.0), (o_res * o_part_hi, 0.4),
@@ -310,33 +331,72 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                         0.65 * hardness * arng.randn(p, 1))
                     dec_p = o_decay * (1 + 0.55 * mode) \
                         * (1 + 0.10 * hardness * arng.randn(p, 1))
+                    if mode == 0:
+                        fm0, phase0, am0 = fm_p, phase, am_p
                     ring += (
                         am_p
-                        * np.exp(-np.maximum(tc, 0.0) * np.maximum(dec_p, 1.0))
-                        * np.sin(2 * np.pi * fm_p * tc + phase)
+                        * np.exp(-tpos * np.maximum(dec_p, 1.0))
+                        * np.sin(2 * np.pi * fm_p * warp + phase)
                         * pos
                     )
                 # resonance builds up over ~25 ms while the contact settles:
                 # the shortest Table-5 windows (+-25 ms) see mostly the
-                # class-generic click, which is what gives the published mic
-                # duration curve its steep low end (63.3% @0.05 s); windows
-                # >=0.2 s (100 ms post-contact) are barely attenuated
-                t_build = 0.026 * np.exp(0.30 * hardness * arng.randn(p, 1))
+                # class-generic impact clutter over a half-built ring, which
+                # is what gives the published mic duration curve its steep
+                # low end (63.3% @0.05 s); windows >=0.2 s (100 ms
+                # post-contact) are barely attenuated
+                t_build = 0.034 * np.exp(0.30 * hardness * arng.randn(p, 1))
                 ring *= 1.0 - np.exp(-np.maximum(tc, 0.0)
                                      / np.maximum(t_build, 1e-4))
+                # biexponential fundamental decay: a low free-ring tail
+                # (~-18 dB of the SAME mode — frequency, phase, and
+                # excitation amplitude shared, so it adds no extra spectral
+                # cue) outlives the driven contact by an order of magnitude.
+                # The 0.5-1 s Table-5 windows gain decay-tail frames that
+                # discriminate exactly the force-confused hard cluster
+                # {metal, ceramic, glass} (fabric/wood tails sink under the
+                # noise floor) — the published mic curve's gentle rise past
+                # 0.2 s — while the tail adds negligible energy to short
+                # windows.
+                # only hard, low-loss objects sustain a free ring: the gate
+                # kills the tail for lossy materials (plastic/wood/fabric,
+                # o_decay >~ 30/s), whose fundamental must die with the
+                # driven contact — otherwise a -18 dB persistent line would
+                # make the fast-decaying classes trivially separable in
+                # mid-length windows.
+                tail_gate = 1.0 / (1.0 + np.exp((o_decay - 30.0) / 6.0))
+                tail_dec = 0.06 * o_decay \
+                    * (1 + 0.15 * hardness * arng.randn(p, 1))
+                tail = (
+                    0.18 * am0 * tail_gate
+                    * np.exp(-tpos * np.maximum(tail_dec, 0.3))
+                    * np.sin(2 * np.pi * fm0 * warp + phase0)
+                    * pos
+                )
+                ring += tail * (1.0 - np.exp(-tpos / np.maximum(t_build,
+                                                                1e-4)))
                 ring *= o_amp * 140.0 * v * q
                 # class-generic impact transient: broadband noise burst PLUS
-                # a random-frequency contact ping (the fingertip/object pair
-                # "chirps" at an excitation-dependent frequency unrelated to
-                # material) — the shortest windows see an actively
-                # misleading spectrum, not just a masked one
-                click_env = np.exp(-np.maximum(tc, 0.0) * 280.0) * pos
-                f_click = np.exp(arng.uniform(np.log(600.0), np.log(3800.0),
-                                              (p, 1)))
-                ping = np.sin(2 * np.pi * f_click * tc
-                              + arng.uniform(0, 2 * np.pi, (p, 1)))
-                click = hardness * v * click_env * (
-                    180.0 * ping + 140.0 * arng.randn(p, n_c))
+                # a bed of excitation-dependent clutter modes (the fingertip/
+                # object/arm assembly rings at poke-random frequencies
+                # unrelated to material, decaying over ~10-40 ms). At short
+                # times every impact therefore looks alike — clutter peaks
+                # bury the material modes — and the material spectrum only
+                # dominates once the clutter has decayed, which is what makes
+                # the published mic duration curve rise (63.3 % @0.05 s ->
+                # 84.6 % @1 s) instead of saturating.
+                click = 140.0 * np.exp(-np.maximum(tc, 0.0) * 280.0) \
+                    * arng.randn(p, n_c)
+                for _ in range(3):
+                    f_cl = np.exp(arng.uniform(np.log(500.0), np.log(3800.0),
+                                               (p, 1)))
+                    dec_cl = np.exp(arng.uniform(np.log(110.0), np.log(260.0),
+                                                 (p, 1)))
+                    a_cl = 150.0 * np.exp(0.5 * arng.randn(p, 1))
+                    click += a_cl * np.exp(-np.maximum(tc, 0.0) * dec_cl) \
+                        * np.sin(2 * np.pi * f_cl * tc
+                                 + arng.uniform(0, 2 * np.pi, (p, 1)))
+                click *= hardness * v * pos
                 noise = noise_scale * 2.5 * arng.randn(p, n_c)
                 contact = ring + click + noise
                 objects[obj]["contact"] = contact.astype(np.float32)

@@ -160,6 +160,7 @@ def train_folds_indexed(keys, X, y, lab_idx, train_idx, test_idx,
 
 def _run_indexed(ds, idx, cfg, rng, mesh=None):
     """Stack (lab, train, test) index tuples and train fused/sharded."""
+    from . import protocol
     from ..utils import rng as rng_util
 
     lab, train, test = (np.stack([f[i] for f in idx]) for i in range(3))
@@ -170,9 +171,21 @@ def _run_indexed(ds, idx, cfg, rng, mesh=None):
         return sweep.train_mlp_work_indexed(
             keys, ds.X, ds.y, lab, train, test,
             valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh)
-    return np.asarray(train_folds_indexed(
-        keys, ds.X, ds.y, lab, train, test,
-        valid_dim=ds.valid_dim, cfg=cfg))
+    # Same per-launch byte budget as the GAN path (protocol.
+    # run_indexed_folds): 6 fused folds x the widest Table-5 audio features
+    # gather >5 GB and crash the TPU worker; chunked launches stay at the
+    # proven point (no pool gathers here, so n_pool=0).
+    chunk = protocol._fold_launch_chunk(
+        len(idx), int(ds.X.shape[-1]), lab.shape[-1], 0, train.shape[-1],
+        test.shape[-1])
+    errs = [
+        np.asarray(train_folds_indexed(
+            keys[s:s + chunk], ds.X, ds.y, lab[s:s + chunk],
+            train[s:s + chunk], test[s:s + chunk],
+            valid_dim=ds.valid_dim, cfg=cfg))
+        for s in range(0, len(idx), chunk)
+    ]
+    return np.concatenate(errs)
 
 
 def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,

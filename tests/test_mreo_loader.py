@@ -52,6 +52,43 @@ def test_load_handles_bytes_keys(tmp_path):
     assert np.asarray(first["x"]).shape == (3, 100)  # force0+force1
 
 
+def test_mic_information_rises_with_window_duration():
+    """The synthetic generator's load-bearing Table-5 property: material
+    information in the mic modality must GROW with window duration (the
+    published curve rises 63.3 % @0.05 s -> 84.6 % @1 s, paperplotly.py:49-54
+    in the reference). Short windows see mostly class-generic impact clutter
+    over a half-built ring; the settled material tone and decay tail only
+    enter at longer durations. Measured as the mean of the top-100
+    per-feature Fisher scores of the standardized log-mel features — a
+    deterministic, classifier-free proxy for the best-feature quality the
+    trainers exploit."""
+
+    def top_fisher(dur):
+        x, y = mreo.load_features(
+            modalities=3, forcetemp_time=0.5, contactmic_time=dur,
+            synthetic_seed=0,
+            synthetic_kwargs=dict(pokes_per_object=10, objects_per_material=4))
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y)
+        sd = x.std(0)
+        sd[sd < 1e-6] = 1.0
+        x = (x - x.mean(0)) / sd
+        gm = x.mean(0)
+        sb, sw = 0.0, 0.0
+        for c in np.unique(y):
+            xc = x[y == c]
+            sb = sb + len(xc) * (xc.mean(0) - gm) ** 2
+            sw = sw + ((xc - xc.mean(0)) ** 2).sum(0)
+        return float(np.sort(sb / (sw + 1e-9))[-100:].mean())
+
+    short, mid, long_ = (top_fisher(d) for d in (0.05, 0.2, 0.5))
+    # measured 0.145 / 0.369 / 0.507 at this seed — leave headroom for
+    # recalibration but fail on any collapse back to a flat (saturating)
+    # generator
+    assert mid > 1.5 * short, (short, mid)
+    assert long_ > 2.0 * short, (short, long_)
+
+
 def test_modality_encodings_shapes(tmp_path):
     d = _write_processed(tmp_path)
     from mrgan_tpu.ops import mel as mel_ops
