@@ -234,7 +234,7 @@ class CollectData:
         sc, seq = self.startCount, self.sequencesPerObject
         if sc == 0 or self.neverrotate:
             return
-        if (self.flat or self.rotateonce) and sc == int(seq / 2.0):
+        if (self.flat or self.rotateonce) and sc >= int(seq / 2.0):
             self.control.rotateGripperWrist(np.pi)
         elif self.quarterflat and sc >= int(seq / 4.0):
             self.control.rotateGripperWrist(

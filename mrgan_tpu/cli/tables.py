@@ -395,7 +395,8 @@ def nn_main(argv=None):
     cfg = mlp.MlpConfig(epochs=args.epochs)
 
     def run_cell(x, y, percent):
-        return mlp.run_mlp_cell(x, y, percent, cfg=cfg, seed=ctx.seed)
+        return mlp.run_mlp_cell(x, y, percent, cfg=cfg, seed=ctx.seed,
+                                mesh=ctx.mesh)
 
     def run_loo(objects, percent):
         return mlp.run_mlp_loo(objects, percent, cfg=cfg, seed=ctx.seed,

@@ -165,19 +165,27 @@ def _run_indexed(ds, idx, cfg, rng, mesh=None):
 
     lab, train, test = (np.stack([f[i] for f in idx]) for i in range(3))
     keys = rng_util.make_keys(rng.randint(2**31 - 1), len(idx))
-    if mesh is not None and mesh.shape.get("cell", 1) > 1:
-        from ..parallel import sweep
-
-        return sweep.train_mlp_work_indexed(
-            keys, ds.X, ds.y, lab, train, test,
-            valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh)
     # Same per-launch byte budget as the GAN path (protocol.
     # run_indexed_folds): 6 fused folds x the widest Table-5 audio features
     # gather >5 GB and crash the TPU worker; chunked launches stay at the
-    # proven point (no pool gathers here, so n_pool=0).
+    # proven point (no pool gathers here, so n_pool=0). The budget is per
+    # device, so the mesh-sharded path chunks at (chunk x n_cell) — also
+    # what makes the halved-budget cell retry effective there.
     chunk = protocol._fold_launch_chunk(
         len(idx), int(ds.X.shape[-1]), lab.shape[-1], 0, train.shape[-1],
         test.shape[-1])
+    if mesh is not None and mesh.shape.get("cell", 1) > 1:
+        from ..parallel import sweep
+
+        chunk *= mesh.shape["cell"]
+        errs = [
+            sweep.train_mlp_work_indexed(
+                keys[s:s + chunk], ds.X, ds.y, lab[s:s + chunk],
+                train[s:s + chunk], test[s:s + chunk],
+                valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh)
+            for s in range(0, len(idx), chunk)
+        ]
+        return np.concatenate(errs)
     errs = [
         np.asarray(train_folds_indexed(
             keys[s:s + chunk], ds.X, ds.y, lab[s:s + chunk],
@@ -189,11 +197,12 @@ def _run_indexed(ds, idx, cfg, rng, mesh=None):
 
 
 def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
-                mesh=None, chunk=6):
+                mesh=None, chunk=None):
     """Leave-one-object-out MLP protocol (mr_nn.py:148-168): the 72 splits
     share static shapes, so they stack on a work axis and train fused against
     ONE device-resident copy of the data (and mesh-sharded when a multi-device
-    mesh is given), in chunks."""
+    mesh is given), in chunks of 6 work items per device
+    (protocol.loo_chunk)."""
     from . import protocol
 
     rng = np.random.RandomState(seed)
@@ -203,23 +212,14 @@ def run_mlp_loo(objects, percentlabeled, cfg: MlpConfig = MlpConfig(), seed=0,
     offs = np.cumsum([0] + [len(objects[n]["y"]) for n in names])
     ds = protocol.DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh,
                                 pad_min=cfg.pad_min)
-    all_rows = np.arange(len(y_all))
 
+    if chunk is None:
+        chunk = protocol.loo_chunk(len(names), mesh)
     errors = []
-    for s in range(0, len(names), chunk):
-        block = list(range(s, min(s + chunk, len(names))))
-        idx = []
-        for i in block:
-            test_idx = all_rows[offs[i]: offs[i + 1]]
-            train_idx = np.concatenate(
-                [all_rows[: offs[i]], all_rows[offs[i + 1]:]])
-            lab, _pool, tr, te = protocol.fold_indices(
-                ds.y_host, train_idx, test_idx, percentlabeled, None,
-                cfg.num_classes, rng)
-            idx.append((lab, tr, te))
-        n_real = len(idx)
-        while len(idx) < min(chunk, len(names)):  # pad short final chunk
-            idx.append(idx[0])
+    for block, idx, n_real in protocol.iter_loo_blocks(
+            names, offs, ds.y_host, percentlabeled, cfg.num_classes, rng,
+            chunk):
+        idx = [(lab, tr, te) for lab, _pool, tr, te in idx]
         errs = _run_indexed(ds, idx, cfg, rng, mesh=mesh)[:n_real]
         errors.extend(float(e) for e in errs)
     return names, np.asarray(errors)
@@ -234,6 +234,15 @@ def run_mlp_cell(x, y=None, percentlabeled=100, cfg: MlpConfig = MlpConfig(),
     rng = np.random.RandomState(seed)
     ds = x if isinstance(x, protocol.DeviceDataset) else protocol.DeviceDataset(
         x, y, cfg.pad_multiple, mesh=mesh, pad_min=cfg.pad_min)
+    required = gan_mod.pad_dim(ds.valid_dim, cfg.pad_multiple, cfg.pad_min)
+    if ds.X.shape[-1] < required:
+        # same guard as protocol.run_gan_cell: a pre-built DeviceDataset
+        # narrower than cfg.pad_min would silently drop the narrow-width
+        # bucketing (the known TPU backend-fault class)
+        raise ValueError(
+            f"DeviceDataset was built with padded width {ds.X.shape[-1]} "
+            f"but cfg.pad_min={cfg.pad_min} requires width >= {required}; "
+            "rebuild the DeviceDataset with pad_min=cfg.pad_min.")
     if splits is None:
         splits = protocol.stratified_splits(ds.y_host, n_splits=n_splits,
                                             seed=seed)

@@ -197,7 +197,10 @@ def run_gan_cell(x, y=None, percentlabeled=50, percentunlabeled=None,
 
         cfg_v = dataclasses.replace(cfg, track_epoch_metrics=True)
         t0 = time.perf_counter()
-        errs, metrics = run_indexed_folds(ds, idx, cfg_v, rng, mesh=mesh,
+        # Epoch metrics only exist on the single-process fold path, so -v
+        # always runs there (mesh=None) instead of raising on a multi-device
+        # mesh — verbose runs trade sweep sharding for the per-epoch log.
+        errs, metrics = run_indexed_folds(ds, idx, cfg_v, rng, mesh=None,
                                           with_metrics=True)
         dt = (time.perf_counter() - t0) / max(cfg.epochs * len(idx), 1)
         for f in range(len(errs)):
@@ -252,10 +255,23 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None, with_metrics=False):
 
         if with_metrics:
             raise ValueError("with_metrics is single-process only")
-        return sweep.train_gan_work_indexed(
-            keys, ds.X, ds.y, lab, pool, train, test,
-            valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh,
-        )
+        # The byte budget is per device: a launch of W folds over n_cell
+        # devices gathers W/n_cell folds' arrays on each, so the sharded
+        # path chunks at (single-device chunk) x n_cell — without this the
+        # halved-budget cell retry (cli.tables.Ctx.cell) would re-run an
+        # identical program on the mesh path.
+        chunk = _fold_launch_chunk(
+            len(idx), ds.X.shape[-1], lab.shape[1], pool.shape[1],
+            train.shape[1], test.shape[1]) * mesh.shape["cell"]
+        out = [
+            sweep.train_gan_work_indexed(
+                keys[s : s + chunk], ds.X, ds.y, lab[s : s + chunk],
+                pool[s : s + chunk], train[s : s + chunk],
+                test[s : s + chunk],
+                valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh)
+            for s in range(0, len(idx), chunk)
+        ]
+        return np.concatenate(out)
     chunk = _fold_launch_chunk(
         len(idx), ds.X.shape[-1], lab.shape[1], pool.shape[1],
         train.shape[1], test.shape[1],
@@ -339,13 +355,37 @@ def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
     all_rows = np.arange(len(y_all))
 
     if chunk is None:
-        n_dev = mesh.shape["cell"] if mesh is not None else 1
-        # 6 work items per device: fits the 7100-row gathered pools in HBM
-        # and matches the k-fold-proven vmap width — wider launches (12) of
-        # the 100-epoch program crashed the remote TPU worker (probed:
-        # width 12 x epochs 100 fails, width 6 x 100 and 12 x 1 succeed).
-        chunk = min(len(names), 6 * n_dev)
+        chunk = loo_chunk(len(names), mesh)
     errors = []
+    for block, idx, n_real in iter_loo_blocks(
+            names, offs, ds.y_host, percentlabeled, cfg.num_classes, rng,
+            chunk):
+        errs = run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)[:n_real]
+        for i, e in zip(block, errs):
+            errors.append(float(e))
+            if on_result is not None:
+                on_result(names[i], float(e))
+    return names, np.asarray(errors)
+
+
+def loo_chunk(n_names, mesh):
+    """Work items per fused LOO launch: 6 per device.
+
+    6 fits the 7100-row gathered pools in HBM and matches the k-fold-proven
+    vmap width — wider launches (12) of the 100-epoch program crashed the
+    remote TPU worker (probed: width 12 x epochs 100 fails, width 6 x 100
+    and 12 x 1 succeed).
+    """
+    n_dev = mesh.shape["cell"] if mesh is not None else 1
+    return min(n_names, 6 * n_dev)
+
+
+def iter_loo_blocks(names, offs, y_host, percentlabeled, num_classes, rng,
+                    chunk):
+    """Shared leave-one-object-out block construction (mr_gan.py:263-283 /
+    mr_nn.py:148-168 protocol): yields (block_object_indices, per-object
+    fold_indices tuples padded to the chunk width, n_real)."""
+    all_rows = np.arange(offs[-1])
     for s in range(0, len(names), chunk):
         block = list(range(s, min(s + chunk, len(names))))
         idx = []
@@ -355,21 +395,16 @@ def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
                 [all_rows[: offs[i]], all_rows[offs[i + 1] :]]
             )
             idx.append(
-                fold_indices(ds.y_host, train_idx, test_idx, percentlabeled,
-                             None, cfg.num_classes, rng)
+                fold_indices(y_host, train_idx, test_idx, percentlabeled,
+                             None, num_classes, rng)
             )
         n_real = len(idx)
         while len(idx) < min(chunk, len(names)):  # pad short final chunk
             idx.append(idx[0])
-        errs = run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)[:n_real]
-        for i, e in zip(block, errs):
-            errors.append(float(e))
-            if on_result is not None:
-                on_result(names[i], float(e))
-    return names, np.asarray(errors)
+        yield block, idx, n_real
 
 
-def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=100,
+def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=None,
            trainTestSets=None, verbose=False, seed=None,
            cfg: gan.GanConfig = None):
     """Reference-API standalone training (mr_gan.py:73-88): one GAN training
@@ -381,7 +416,11 @@ def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=100,
     from sklearn.model_selection import train_test_split
 
     if cfg is None:
-        cfg = gan.GanConfig(epochs=epochs)
+        cfg = gan.GanConfig(epochs=100 if epochs is None else epochs)
+    elif epochs is not None:
+        # an explicit epochs always wins — previously it was silently
+        # ignored whenever a cfg was also passed
+        cfg = dataclasses.replace(cfg, epochs=epochs)
     if seed is None:
         # mr_gan.py:75 deliberately de-seeds ("Non Deterministic output")
         seed = np.random.randint(2**31 - 1)

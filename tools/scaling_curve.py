@@ -80,15 +80,20 @@ def main():
 
     results = []
     for w in args.widths:
-        proc = subprocess.run(
-            [sys.executable, "-c", CHILD, str(w), str(args.epochs),
-             str(args.feat_dim)],
-            capture_output=True, text=True, timeout=3600)
-        line = next((ln for ln in proc.stdout.splitlines()
-                     if ln.startswith("CHILD_RESULT ")), None)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", CHILD, str(w), str(args.epochs),
+                 str(args.feat_dim)],
+                capture_output=True, text=True, timeout=1800)
+            line = next((ln for ln in proc.stdout.splitlines()
+                         if ln.startswith("CHILD_RESULT ")), None)
+        except subprocess.TimeoutExpired:
+            # a hung probe (e.g. backend unreachable) must also only lose
+            # that width, same as a crash
+            proc, line = None, None
         if line is None:
-            rec = {"width": w, "crashed": True,
-                   "tail": (proc.stderr or proc.stdout)[-400:]}
+            tail = (proc.stderr or proc.stdout)[-400:] if proc else "timeout"
+            rec = {"width": w, "crashed": True, "tail": tail}
         else:
             rec = json.loads(line[len("CHILD_RESULT "):])
         results.append(rec)
