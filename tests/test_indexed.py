@@ -110,6 +110,34 @@ def test_fold_launch_chunking_matches_single_launch(monkeypatch):
     assert got.shape == (4,)
 
 
+def test_mesh_path_respects_byte_budget_chunking(monkeypatch):
+    """The mesh-sharded fold path must also honor FOLD_LAUNCH_BYTE_BUDGET
+    (chunk x n_cell work items per launch) and produce the same per-fold
+    errors as the unchunked sharded launch — this is what makes the cell
+    retry's halved budget effective on multi-device sweeps."""
+    x, y = _blobs(seed=3)
+    cfg = gan.GanConfig(noise_size=8, batch_size=10, epochs=3)
+    ds = protocol.DeviceDataset(x, y, cfg.pad_multiple)
+    mesh = mesh_lib.make_mesh(n_cell=2, n_data=2)
+    splits = protocol.stratified_splits(y, n_splits=4, seed=5)
+
+    def run():
+        rng = np.random.RandomState(5)
+        idx = [protocol.fold_indices(ds.y_host, tr, te, 5, None, 6, rng)
+               for tr, te in splits]
+        return protocol.run_indexed_folds(ds, idx, cfg, rng, mesh=mesh)
+
+    want = run()
+    per_fold = 4.0 * ds.X.shape[-1] * sum(
+        protocol.fold_indices(
+            ds.y_host, *splits[0], 5, None, 6,
+            np.random.RandomState(0))[i].shape[-1] for i in (0, 1, 2, 3))
+    monkeypatch.setattr(protocol, "FOLD_LAUNCH_BYTE_BUDGET", per_fold + 1)
+    got = run()  # -> chunk 1 x n_cell=2 -> two sharded launches
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    assert got.shape == (4,)
+
+
 def test_fold_launch_chunk_sizing():
     # reference shapes stay one fused launch of 6
     assert protocol._fold_launch_chunk(6, 3712, 6000, 6000, 6000, 1200) == 6
