@@ -26,11 +26,31 @@ BASELINE_STEPS_PER_SEC = 294 * 100 * 120 / (3 * 3600.0)  # ~326.7
 
 
 def main():
+    # Backend-init watchdog: when the remote TPU pool is unreachable, the
+    # first device touch blocks forever inside the PJRT client constructor
+    # (observed during a multi-hour pool outage) — and it blocks in C, so
+    # neither KeyboardInterrupt nor signal.alarm can unwind it. A daemon
+    # thread + os._exit fails loudly instead of hanging whatever harness
+    # invoked the benchmark.
+    import os
+    import threading
+
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(300):
+            print("bench: backend init timed out (TPU pool unreachable?)",
+                  file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     import jax
 
     from mrgan_tpu.train import gan, protocol
     from mrgan_tpu.utils import compile_cache
 
+    jax.devices()
+    init_done.set()
     compile_cache.enable()
 
     folds = 6
