@@ -1,0 +1,31 @@
+#!/bin/bash
+# The full hardware work queue for a round: run everything that needs the
+# real chip, in priority order, logging each stage. Designed to be launched
+# by a recovery watcher after a TPU-pool outage:
+#   nohup bash tools/hardware_queue.sh > /tmp/hwqueue.log 2>&1 &
+# Every stage is independently resumable/skippable; a stage crash moves on
+# to the next (sweep CLIs already checkpoint per cell).
+set -ux
+cd "$(dirname "$0")/.."
+
+# 1. Regenerate every table artifact with the round-2 synthetic generator.
+bash tools/regen_artifacts.sh
+echo "QUEUE: regen rc=$?"
+
+# 2. Measured sweep-axis scaling curve (VERDICT round-1 item 4).
+python tools/scaling_curve.py --out artifacts/scaling_curve.jsonl
+echo "QUEUE: scaling rc=$?"
+
+# 3. Official benchmark line.
+python bench.py | tee /tmp/bench_queue.log
+echo "QUEUE: bench rc=$?"
+
+# 4. Hardware-gated bf16 shadow exactness check.
+python tools/check_shadow_exactness.py
+echo "QUEUE: shadow rc=$?"
+
+# 5. Published-curve comparison over the fresh artifacts.
+python tools/compare_published.py | tee /tmp/compare_queue.log
+echo "QUEUE: compare rc=$?"
+
+echo HWQUEUE_DONE
