@@ -1,0 +1,215 @@
+"""CLI mirroring others/wganlpctsemi.py:510-796: grid-search harness over the
+variant algorithm zoo (svm / nn / lstm / rf / gan / ganlstm / iwgan /
+iwganlstm) with k-fold CV on the haptic force+temperature features. Unlike
+the reference's enforced single-threaded determinism (wganlpctsemi.py:6-17),
+determinism here comes free from JAX PRNG keys.
+"""
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def run_fold(algorithm, x_tr, y_tr, x_te, y_te, fraction, pca, scale, kernel,
+             verbose):
+    from mrgan_tpu.variants import baselines
+
+    x_tr, x_te = baselines.pca_scale(x_tr, x_te, pca=pca, scale=scale)
+    rng = np.random.RandomState(54321)  # the reference's enforced seed
+    if "gan" in algorithm:
+        from mrgan_tpu.variants import wgan
+
+        if algorithm == "iwganlstm":
+            cfg = wgan.iwganlstm_config(batch_size=128, epochs=100)
+        elif algorithm == "ganlstm":
+            cfg = wgan.ganlstm_config(batch_size=128)
+        elif algorithm == "gan":
+            # gan-family losses (labeled + fake softplus, mid feature
+            # matching) on the iwgan arch — the reference defines no arch
+            # for 'gan' (its own file would crash on undefined names)
+            cfg = wgan.WganConfig(algo="gan")
+        else:
+            cfg = wgan.WganConfig()
+        # run a single prepared fold through the fused trainer
+        import jax
+
+        from mrgan_tpu.train import gan as gan_mod
+
+        x_lab, y_lab = baselines.select_fraction_labeled(
+            x_tr, np.asarray(y_tr, np.int32), fraction, cfg.num_classes, rng)
+        folds = {
+            "x_labeled": x_lab[None], "y_labeled": y_lab[None],
+            "pool": x_tr[None], "x_test": x_te[None],
+            "y_test": np.asarray(y_te, np.int32)[None],
+        }
+        for k in ("x_labeled", "pool", "x_test"):
+            folds[k], _ = gan_mod.pad_features(folds[k], cfg.pad_multiple)
+        errs = wgan.train_folds(
+            jax.random.split(jax.random.PRNGKey(rng.randint(2**31 - 1)), 1),
+            folds["x_labeled"], folds["y_labeled"], folds["pool"],
+            folds["x_test"], folds["y_test"], len(x_tr), cfg=cfg)
+        return 1.0 - float(errs[0])
+
+    x_lab, y_lab = baselines.select_fraction_labeled(
+        x_tr, np.asarray(y_tr, np.int32), fraction, 6, rng)
+    if algorithm == "nn":
+        return baselines.learn_resnn(x_lab, y_lab, x_te, y_te)
+    if algorithm == "lstm":
+        return baselines.learn_bilstm(x_lab, y_lab, x_te, y_te)
+    if algorithm == "svm":
+        return baselines.learn_svm(x_lab, y_lab, x_te, y_te,
+                                   kernel=kernel or 0)
+    if algorithm == "rf":
+        return baselines.learn_rf(x_lab, y_lab, x_te, y_te)
+    raise ValueError(algorithm)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Semi-supervised learning with GANs for material "
+                    "recognition on haptic data.")
+    parser.add_argument("-t", "--test", nargs="+", required=True,
+                        help="Which test? (0) K-fold CV, (1) Generalizing to "
+                             "many new objects, (2) Leave-one-object-out")
+    parser.add_argument("-a", "--algorithm", nargs="+", required=True,
+                        help="svm, nn, lstm, rf, gan, ganlstm, iwgan, iwganlstm")
+    parser.add_argument("-v", "--verbose", action="store_true")
+    parser.add_argument("--synthetic", action="store_true")
+    parser.add_argument("--synthetic-pokes", type=int, default=100)
+    parser.add_argument("--percents", type=float, nargs="+", default=[0.01],
+                        help="Labeled fractions (wganlpctsemi.py:568-569)")
+    parser.add_argument("--n-splits", type=int, default=6)
+    args = parser.parse_args(argv)
+    algorithm = args.algorithm[0]
+
+    from sklearn.model_selection import StratifiedKFold
+
+    from mrgan_tpu.data import mreo
+
+    load_kw = dict(
+        modalities=2,
+        synthetic_seed=0 if args.synthetic else None,
+        synthetic_kwargs={"pokes_per_object": args.synthetic_pokes},
+    )
+    if set(args.test) & {"0"}:
+        x, y = mreo.load_features(**load_kw)
+
+    t = time.time()
+    if "0" in args.test:
+        # grid per algorithm (the reference's overridden effective grids,
+        # wganlpctsemi.py:531-562): pca x scale x kernel
+        grids = {
+            "iwgan": ([0], ["scale"], [None]),
+            "iwganlstm": ([0], ["norm"], [None]),
+            "gan": ([0], ["scale"], [None]),
+            "ganlstm": ([0], ["norm"], [None]),
+            "lstm": ([0], ["scale"], [None]),
+            "nn": ([0], ["norm"], [None]),
+            "svm": ([0], ["scale"], [1]),
+            "rf": ([0], ["norm"], [None]),
+        }[algorithm]
+        titles = {
+            "iwgan": "Training with a WGAN-GP / iWGAN",
+            "iwganlstm": "Training with a WGAN-LP-CT biLSTM",
+            "lstm": "Training with a biLSTM",
+            "nn": "Training with a NN",
+            "svm": "Training with an SVM",
+            "rf": "Training with a random forest",
+            "gan": "Training with a GAN",
+            "ganlstm": "Training with a GAN biLSTM",
+        }
+        print(titles[algorithm])
+        best_scores, best_parameter_sets = [], []
+        for fraction in args.percents:
+            best_score, best_parameters = 0.0, []
+            for pca in grids[0]:
+                for ns in grids[1]:
+                    for kernel in grids[2]:
+                        print("Parameters:", pca, ns, kernel)
+                        accuracies = []
+                        skf = StratifiedKFold(n_splits=args.n_splits,
+                                              shuffle=True)
+                        for tr, te in skf.split(x, y):
+                            acc = run_fold(algorithm, x[tr], y[tr], x[te],
+                                           y[te], fraction, pca, ns, kernel,
+                                           args.verbose)
+                            accuracies.append(acc)
+                            print("Test accuracy:", acc)
+                            sys.stdout.flush()
+                        avg = float(np.mean(accuracies))
+                        print("Average accuracy:", avg)
+                        sys.stdout.flush()
+                        if avg == best_score:
+                            best_parameters.append([pca, ns, kernel])
+                        if avg > best_score:
+                            best_score = avg
+                            best_parameters = [[pca, ns, kernel]]
+            best_scores.append(best_score)
+            best_parameter_sets.append(best_parameters)
+        for i, fraction in enumerate(args.percents):
+            print("Percent labeled:", fraction)
+            print("Best score:", best_scores[i])
+            print("Best parameters:", best_parameter_sets[i])
+    if set(args.test) & {"1", "2"}:
+        # The reference runs these on the SCiO/Lumini spectrometer datasets
+        # with hardcoded object lists (wganlpctsemi.py:600-796) and a
+        # loadScioDataset that its own checkout does not ship; here the same
+        # protocols run on the haptic dataset's object structure.
+        objects = mreo.load_features(leave_object_out=True, **load_kw)
+        by_material = {}
+        for name, data in objects.items():
+            by_material.setdefault(int(data["y"][0]), []).append(name)
+
+        def xy(names):
+            xs = np.concatenate([np.asarray(objects[n]["x"]) for n in names])
+            ys = np.concatenate([np.asarray(objects[n]["y"]) for n in names])
+            return xs, ys
+
+        if "1" in args.test:
+            # k-fold over objects: train on nto objects/material, test on rest
+            for nto in [5, 2, 1]:
+                nfolds = min(len(v) for v in by_material.values()) // nto
+                for fraction in args.percents:
+                    accuracies = []
+                    for n in range(nfolds):
+                        train_names, test_names = [], []
+                        for objs in by_material.values():
+                            sel = objs[n * nto : (n + 1) * nto]
+                            train_names += sel
+                            test_names += [o for o in objs if o not in sel]
+                        x_tr, y_tr = xy(train_names)
+                        x_te, y_te = xy(test_names)
+                        acc = run_fold(algorithm, x_tr, y_tr, x_te, y_te,
+                                       fraction, 0, "scale", 1, args.verbose)
+                        accuracies.append(acc)
+                        print("Test accuracy:", acc)
+                        sys.stdout.flush()
+                    print("Train objects per material:", nto,
+                          "Percent labeled:", fraction,
+                          "Average accuracy:", float(np.mean(accuracies)))
+                    sys.stdout.flush()
+
+        if "2" in args.test:
+            for fraction in args.percents:
+                accuracies = []
+                for name in objects:
+                    test_names = [name]
+                    train_names = [o for o in objects if o != name]
+                    x_tr, y_tr = xy(train_names)
+                    x_te, y_te = xy(test_names)
+                    acc = run_fold(algorithm, x_tr, y_tr, x_te, y_te,
+                                   fraction, 0, "scale", 1, args.verbose)
+                    accuracies.append(acc)
+                    print(name, "Test accuracy:", acc)
+                    sys.stdout.flush()
+                print("Percent labeled:", fraction,
+                      "Average leave-one-object-out accuracy:",
+                      float(np.mean(accuracies)))
+
+    print("Total time:", time.time() - t, "s")
+
+
+if __name__ == "__main__":
+    main()

@@ -6,35 +6,7 @@ Raw acquisition pickles -> processed MREO pickles over the 14 window configs
 kernels instead of ~400k serial scipy interp1d calls.
 """
 
-import argparse
-
-from mrgan_tpu.data import preprocess
-
-
-def main():
-    parser = argparse.ArgumentParser(
-        description="Window and resample raw poke data around impact times."
-    )
-    parser.add_argument("--raw-dir", default="data_raw")
-    parser.add_argument("--out-dir", default="data_processed")
-    parser.add_argument(
-        "--prefix", default="custom_",
-        help="Output filename prefix (reference safety latch; '' writes "
-             "loader-visible processed_*.pkl)",
-    )
-    parser.add_argument(
-        "--configs", type=int, nargs="*", default=None,
-        help="Indices into the 14 (duration, contact) configs; default all",
-    )
-    args = parser.parse_args()
-    configs = (
-        [preprocess.CONFIGS[i] for i in args.configs]
-        if args.configs is not None
-        else None
-    )
-    preprocess.run(raw_dir=args.raw_dir, out_dir=args.out_dir,
-                   configs=configs, prefix=args.prefix)
-
+from mrgan_tpu.cli.preprocess import main
 
 if __name__ == "__main__":
     main()
