@@ -6,10 +6,65 @@ determinism here comes free from JAX PRNG keys.
 """
 
 import argparse
+import glob
+import os
 import sys
 import time
 
 import numpy as np
+
+# The reference's Lumini grid dimensions (wganlpctsemi.py:531-562): every
+# algorithm's full grid sweeps exposures x deriv/log transforms before its
+# "effective" override narrows to the (unshipped) SCiO set.
+LUMINI_DLP_GRID = ("deriv1", "deriv2", "preprocess1", "log1", None)
+
+
+class _LuminiSource:
+    """Lumini spectrometer data for the grid search: loads (or synthesizes)
+    the on-disk dataset once, then serves per-(exposure, dlp) feature
+    matrices and per-object dicts for the three test protocols."""
+
+    def __init__(self, args):
+        from mrgan_tpu import MATERIALS
+        from mrgan_tpu.data import spectrometer
+
+        self.spectrometer = spectrometer
+        self.materials = list(MATERIALS)
+        self.samples = args.samples
+        if args.synthetic and not glob.glob(
+                os.path.join(args.lumini_dir, "*", "*", "*_*_*.txt")):
+            spectrometer.generate_lumini_dataset(
+                args.lumini_dir, seed=0,
+                objects_per_material=args.synthetic_objects,
+                samples_per_object=args.synthetic_samples)
+        self.data, self.wavelengths = spectrometer.load_lumini_dataset(
+            args.lumini_dir)
+        self.exposures = args.exposures or list(
+            spectrometer.LUMINI_EXPOSURES)
+        self.dlps = ([None if d == "none" else d for d in args.dlp]
+                     if args.dlp else list(LUMINI_DLP_GRID))
+
+    def grid(self):
+        return [(e, dlp) for e in self.exposures for dlp in self.dlps]
+
+    def xy(self, exposure, dlp):
+        """All-object (X, y) at one grid point (processLuminiDataset over
+        every object + the preprocess transform, wganlpctsemi.py:680-683)."""
+        objects = self.objects(exposure, dlp)
+        x = np.concatenate([o["x"] for o in objects.values()])
+        y = np.concatenate([o["y"] for o in objects.values()])
+        return x, y
+
+    def objects(self, exposure, dlp):
+        objs = self.spectrometer.lumini_objects(
+            self.data, tuple(self.materials), sample_count=self.samples,
+            exposure=exposure)
+        out = {}
+        for name, o in sorted(objs.items()):
+            x, yy, _ = self.spectrometer.preprocess_spectra(
+                o["x"], o["y"], self.wavelengths, deriv_log=dlp)
+            out[name] = {"x": np.asarray(x, np.float32), "y": yy}
+        return out
 
 
 def run_fold(algorithm, x_tr, y_tr, x_te, y_te, fraction, pca, scale, kernel,
@@ -81,6 +136,26 @@ def main(argv=None):
     parser.add_argument("--percents", type=float, nargs="+", default=[0.01],
                         help="Labeled fractions (wganlpctsemi.py:568-569)")
     parser.add_argument("--n-splits", type=int, default=6)
+    parser.add_argument("--dataset", choices=["haptic", "lumini"],
+                        default="haptic",
+                        help="haptic force+temperature features, or the "
+                             "Lumini spectrometer dataset the reference's "
+                             "grids also sweep (wganlpctsemi.py:659-683)")
+    parser.add_argument("--lumini-dir", default=os.path.join("data", "lumini"))
+    parser.add_argument("--exposures", type=int, nargs="+", default=None,
+                        help="Lumini exposure grid (default: the reference's "
+                             "[100..500], wganlpctsemi.py:531)")
+    parser.add_argument("--dlp", nargs="+", default=None,
+                        help="deriv/log/preprocess transform grid ('none' "
+                             "for identity; default: the reference's "
+                             "[deriv1 deriv2 preprocess1 log1 none])")
+    parser.add_argument("--samples", type=int, default=100,
+                        help="Samples per object per cell (reference "
+                             "numSamples, wganlpctsemi.py:602)")
+    parser.add_argument("--synthetic-objects", type=int, default=6,
+                        help="Synthetic Lumini objects per material")
+    parser.add_argument("--synthetic-samples", type=int, default=20,
+                        help="Synthetic Lumini samples per object/exposure")
     args = parser.parse_args(argv)
     algorithm = args.algorithm[0]
 
@@ -93,7 +168,8 @@ def main(argv=None):
         synthetic_seed=0 if args.synthetic else None,
         synthetic_kwargs={"pokes_per_object": args.synthetic_pokes},
     )
-    if set(args.test) & {"0"}:
+    lumini = _LuminiSource(args) if args.dataset == "lumini" else None
+    if set(args.test) & {"0"} and lumini is None:
         x, y = mreo.load_features(**load_kw)
 
     t = time.time()
@@ -121,31 +197,39 @@ def main(argv=None):
             "ganlstm": "Training with a GAN biLSTM",
         }
         print(titles[algorithm])
+        # extra leading grid dims for the spectrometer dataset: exposure and
+        # deriv/log transform (wganlpctsemi.py:531, :659-683)
+        data_dims = lumini.grid() if lumini else [None]
         best_scores, best_parameter_sets = [], []
         for fraction in args.percents:
             best_score, best_parameters = 0.0, []
-            for pca in grids[0]:
-                for ns in grids[1]:
-                    for kernel in grids[2]:
-                        print("Parameters:", pca, ns, kernel)
-                        accuracies = []
-                        skf = StratifiedKFold(n_splits=args.n_splits,
-                                              shuffle=True)
-                        for tr, te in skf.split(x, y):
-                            acc = run_fold(algorithm, x[tr], y[tr], x[te],
-                                           y[te], fraction, pca, ns, kernel,
-                                           args.verbose)
-                            accuracies.append(acc)
-                            print("Test accuracy:", acc)
+            for dd in data_dims:
+                if dd is not None:
+                    x, y = lumini.xy(*dd)
+                prefix = ["lumini", *dd] if dd is not None else []
+                for pca in grids[0]:
+                    for ns in grids[1]:
+                        for kernel in grids[2]:
+                            print("Parameters:", *prefix, pca, ns, kernel)
+                            accuracies = []
+                            skf = StratifiedKFold(n_splits=args.n_splits,
+                                                  shuffle=True)
+                            for tr, te in skf.split(x, y):
+                                acc = run_fold(algorithm, x[tr], y[tr],
+                                               x[te], y[te], fraction, pca,
+                                               ns, kernel, args.verbose)
+                                accuracies.append(acc)
+                                print("Test accuracy:", acc)
+                                sys.stdout.flush()
+                            avg = float(np.mean(accuracies))
+                            print("Average accuracy:", avg)
                             sys.stdout.flush()
-                        avg = float(np.mean(accuracies))
-                        print("Average accuracy:", avg)
-                        sys.stdout.flush()
-                        if avg == best_score:
-                            best_parameters.append([pca, ns, kernel])
-                        if avg > best_score:
-                            best_score = avg
-                            best_parameters = [[pca, ns, kernel]]
+                            params = prefix + [pca, ns, kernel]
+                            if avg == best_score:
+                                best_parameters.append(params)
+                            if avg > best_score:
+                                best_score = avg
+                                best_parameters = [params]
             best_scores.append(best_score)
             best_parameter_sets.append(best_parameters)
         for i, fraction in enumerate(args.percents):
@@ -154,59 +238,76 @@ def main(argv=None):
             print("Best parameters:", best_parameter_sets[i])
     if set(args.test) & {"1", "2"}:
         # The reference runs these on the SCiO/Lumini spectrometer datasets
-        # with hardcoded object lists (wganlpctsemi.py:600-796) and a
-        # loadScioDataset that its own checkout does not ship; here the same
-        # protocols run on the haptic dataset's object structure.
-        objects = mreo.load_features(leave_object_out=True, **load_kw)
-        by_material = {}
-        for name, data in objects.items():
-            by_material.setdefault(int(data["y"][0]), []).append(name)
+        # (wganlpctsemi.py:600-796). --dataset lumini sweeps the same
+        # exposure x deriv/log grid over the spectrometer data; the default
+        # runs the identical protocols on the haptic dataset's object
+        # structure (the reference's own file is unrunnable here: its object
+        # lists are undefined and loadScioDataset is not shipped).
+        if lumini:
+            object_sets = [(["lumini", e, dlp], (e, dlp))
+                           for e, dlp in lumini.grid()]
+        else:
+            object_sets = [([], mreo.load_features(leave_object_out=True,
+                                                   **load_kw))]
+        for prefix, objects in object_sets:
+            if lumini:
+                print("Parameters:", *prefix)
+                objects = lumini.objects(*objects)
+            by_material = {}
+            for name, data in objects.items():
+                by_material.setdefault(int(data["y"][0]), []).append(name)
 
-        def xy(names):
-            xs = np.concatenate([np.asarray(objects[n]["x"]) for n in names])
-            ys = np.concatenate([np.asarray(objects[n]["y"]) for n in names])
-            return xs, ys
+            def xy(names, objects=objects):
+                xs = np.concatenate(
+                    [np.asarray(objects[n]["x"]) for n in names])
+                ys = np.concatenate(
+                    [np.asarray(objects[n]["y"]) for n in names])
+                return xs, ys
 
-        if "1" in args.test:
-            # k-fold over objects: train on nto objects/material, test on rest
-            for nto in [5, 2, 1]:
-                nfolds = min(len(v) for v in by_material.values()) // nto
+            if "1" in args.test:
+                # k-fold over objects: train on nto objects/material, test
+                # on the rest (numTrainObjects, wganlpctsemi.py:654)
+                for nto in [5, 2, 1]:
+                    nfolds = min(len(v) for v in by_material.values()) // nto
+                    for fraction in args.percents:
+                        accuracies = []
+                        for n in range(nfolds):
+                            train_names, test_names = [], []
+                            for objs in by_material.values():
+                                sel = objs[n * nto : (n + 1) * nto]
+                                train_names += sel
+                                test_names += [o for o in objs
+                                               if o not in sel]
+                            x_tr, y_tr = xy(train_names)
+                            x_te, y_te = xy(test_names)
+                            acc = run_fold(algorithm, x_tr, y_tr, x_te,
+                                           y_te, fraction, 0, "scale", 1,
+                                           args.verbose)
+                            accuracies.append(acc)
+                            print("Test accuracy:", acc)
+                            sys.stdout.flush()
+                        print("Train objects per material:", nto,
+                              "Percent labeled:", fraction,
+                              "Average accuracy:",
+                              float(np.mean(accuracies)))
+                        sys.stdout.flush()
+
+            if "2" in args.test:
                 for fraction in args.percents:
                     accuracies = []
-                    for n in range(nfolds):
-                        train_names, test_names = [], []
-                        for objs in by_material.values():
-                            sel = objs[n * nto : (n + 1) * nto]
-                            train_names += sel
-                            test_names += [o for o in objs if o not in sel]
+                    for name in objects:
+                        test_names = [name]
+                        train_names = [o for o in objects if o != name]
                         x_tr, y_tr = xy(train_names)
                         x_te, y_te = xy(test_names)
                         acc = run_fold(algorithm, x_tr, y_tr, x_te, y_te,
                                        fraction, 0, "scale", 1, args.verbose)
                         accuracies.append(acc)
-                        print("Test accuracy:", acc)
+                        print(name, "Test accuracy:", acc)
                         sys.stdout.flush()
-                    print("Train objects per material:", nto,
-                          "Percent labeled:", fraction,
-                          "Average accuracy:", float(np.mean(accuracies)))
-                    sys.stdout.flush()
-
-        if "2" in args.test:
-            for fraction in args.percents:
-                accuracies = []
-                for name in objects:
-                    test_names = [name]
-                    train_names = [o for o in objects if o != name]
-                    x_tr, y_tr = xy(train_names)
-                    x_te, y_te = xy(test_names)
-                    acc = run_fold(algorithm, x_tr, y_tr, x_te, y_te,
-                                   fraction, 0, "scale", 1, args.verbose)
-                    accuracies.append(acc)
-                    print(name, "Test accuracy:", acc)
-                    sys.stdout.flush()
-                print("Percent labeled:", fraction,
-                      "Average leave-one-object-out accuracy:",
-                      float(np.mean(accuracies)))
+                    print("Percent labeled:", fraction,
+                          "Average leave-one-object-out accuracy:",
+                          float(np.mean(accuracies)))
 
     print("Total time:", time.time() - t, "s")
 

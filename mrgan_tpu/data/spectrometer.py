@@ -14,6 +14,7 @@ import os
 
 import numpy as np
 
+from .. import MATERIALS
 from ..ops import resample
 
 
@@ -70,6 +71,106 @@ def process_lumini_dataset(data, material_names, object_names,
             y.append(index)
             counts[key] = counts.get(key, 0) + 1
     return X, y
+
+
+LUMINI_EXPOSURES = (100, 200, 300, 400, 500)  # wganlpctsemi.py:531 grid
+
+
+def generate_lumini_dataset(out_dir, seed=0, materials=MATERIALS,
+                            objects_per_material=6, samples_per_object=20,
+                            exposures=LUMINI_EXPOSURES, n_wavelengths=331):
+    """Write a synthetic handheld-spectrometer dataset in the exact on-disk
+    layout ``load_lumini_dataset`` parses (util.py:4-26): per-measurement
+    text files ``<material>/<object>/<object>_<i>_<exposure>.txt`` with a
+    header line, tab-separated original spectra, a 'sensitivity' marker
+    line, then the sensitivity-corrected spectra.
+
+    The physics mirrors the synthetic-MREO design stance: material identity
+    lives in a few reflectance bands (center/width/amplitude), per-object
+    parameter jitter overlaps neighboring materials, and exposure sets the
+    shot-noise SNR — so the reference's exposure/deriv/log grid dimensions
+    (wganlpctsemi.py:531-562) have real signal to select on.
+    """
+    rng = np.random.RandomState(seed)
+    wavelengths = np.linspace(340.0, 1000.0, n_wavelengths)
+    # smooth instrument response; identical across every measurement
+    sensitivity = (0.25 + np.exp(-(((wavelengths - 680.0) / 260.0) ** 2))
+                   ) / 1.25
+    # per-material reflectance bands (center nm, width nm, amplitude)
+    bands = {
+        "plastic": [(420, 60, 0.55), (780, 120, 0.35)],
+        "glass": [(520, 200, 0.20), (940, 90, 0.30)],
+        "fabric": [(470, 90, 0.45), (620, 70, 0.40), (860, 110, 0.25)],
+        "metal": [(560, 300, 0.65)],
+        "wood": [(500, 80, 0.35), (700, 100, 0.45)],
+        "ceramic": [(450, 120, 0.50), (900, 140, 0.40)],
+    }
+    baselines = {"plastic": 0.25, "glass": 0.10, "fabric": 0.20,
+                 "metal": 0.45, "wood": 0.30, "ceramic": 0.35}
+    written = []
+    for material in materials:
+        for o in range(objects_per_material):
+            obj = f"{material}obj{o}"
+            obj_dir = os.path.join(out_dir, material, obj)
+            os.makedirs(obj_dir, exist_ok=True)
+            # per-object jitter: band centers drift, amplitudes rescale,
+            # baseline tilts — objects of different materials overlap
+            obj_bands = [(c + rng.normal(0, 18.0), w * rng.lognormal(0, 0.15),
+                          a * rng.lognormal(0, 0.20))
+                         for c, w, a in bands[material]]
+            obj_base = baselines[material] * rng.lognormal(0, 0.15)
+            obj_tilt = rng.normal(0, 8e-5)
+            refl = obj_base + obj_tilt * (wavelengths - 670.0)
+            for c, w, a in obj_bands:
+                refl = refl + a * np.exp(-(((wavelengths - c) / w) ** 2))
+            refl = np.clip(refl, 0.02, None)
+            i = 0
+            for exposure in exposures:
+                for _ in range(samples_per_object):
+                    gain = rng.lognormal(0, 0.03)
+                    signal = exposure * refl * sensitivity * gain
+                    noise = (rng.normal(size=signal.shape)
+                             * (np.sqrt(signal) * 0.35 + 0.6))
+                    orig = np.clip(signal + noise, 0.0, None)
+                    corrected = orig / (exposure * sensitivity)
+                    path = os.path.join(obj_dir, f"{obj}_{i}_{exposure}.txt")
+                    with open(path, "w") as f:
+                        f.write("wavelength\toriginal\n")
+                        for wl, v in zip(wavelengths, orig):
+                            f.write(f"{wl:.2f}\t{v:.6f}\n")
+                        f.write("wavelength\tsensitivity corrected\n")
+                        for wl, v in zip(wavelengths, corrected):
+                            f.write(f"{wl:.2f}\t{v:.6f}\n")
+                    written.append(path)
+                    i += 1
+    return written
+
+
+def lumini_objects(data, materials=MATERIALS, sample_count=20, exposure=100,
+                   corrected_values=True):
+    """Group loaded rows into the per-object dict contract used by the
+    generalization/LOO protocols ({name: {"x": (n,d), "y": (n,)}}), the
+    spectrometer analog of the haptic loader's leaveObjectOut mode."""
+    objects = {}
+    counts = {}
+    for d in data:
+        material, obj, exp = d[0], d[1], d[2]
+        if material not in materials or exp != exposure:
+            continue
+        if counts.get(obj, 0) >= sample_count:
+            continue
+        counts[obj] = counts.get(obj, 0) + 1
+        values = d[3:]
+        half = len(values) // 2
+        values = values[:half] if corrected_values else values[half:]
+        entry = objects.setdefault(
+            obj, {"x": [], "y": materials.index(material)})
+        entry["x"].append(values)
+    return {
+        name: {"x": np.asarray(e["x"], np.float32),
+               "y": np.full(len(e["x"]), e["y"], np.int32)}
+        for name, e in objects.items()
+    }
 
 
 def first_deriv(x, wavelengths):

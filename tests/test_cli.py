@@ -249,3 +249,37 @@ def test_wganlpctsemi_ganlstm_cli_smoke(capsys, monkeypatch):
     out = capsys.readouterr().out
     assert "Training with a GAN biLSTM" in out
     assert "Average accuracy:" in out
+
+
+def test_wgan_grid_lumini_test0_smoke(capsys, tmp_path):
+    """--dataset lumini runs the spectrometer grid (exposure x dlp) through
+    test 0 end-to-end on a generated tiny dataset (wganlpctsemi.py:659-683)."""
+    from mrgan_tpu.cli import wgan_grid
+
+    wgan_grid.main(["-t", "0", "-a", "svm", "--dataset", "lumini",
+                    "--synthetic", "--synthetic-objects", "2",
+                    "--synthetic-samples", "3", "--samples", "3",
+                    "--exposures", "100", "--dlp", "deriv1", "none",
+                    "--n-splits", "2", "--percents", "1.0",
+                    "--lumini-dir", str(tmp_path / "lumini")])
+    out = capsys.readouterr().out
+    assert "Training with an SVM" in out
+    assert "Parameters: lumini 100 deriv1" in out
+    assert "Parameters: lumini 100 None" in out
+    assert "Best score:" in out
+
+
+def test_wgan_grid_lumini_test2_loo_smoke(capsys, tmp_path):
+    """Leave-one-object-out (test 2) over the spectrometer objects."""
+    from mrgan_tpu.cli import wgan_grid
+
+    wgan_grid.main(["-t", "2", "-a", "svm", "--dataset", "lumini",
+                    "--synthetic", "--synthetic-objects", "2",
+                    "--synthetic-samples", "3", "--samples", "3",
+                    "--exposures", "100", "--dlp", "none",
+                    "--percents", "1.0",
+                    "--lumini-dir", str(tmp_path / "lumini")])
+    out = capsys.readouterr().out
+    assert "Parameters: lumini 100 None" in out
+    assert out.count("Test accuracy:") == 12  # 6 materials x 2 objects
+    assert "Average leave-one-object-out accuracy:" in out

@@ -233,3 +233,45 @@ def test_gan_algo_uses_feature_matching_and_learns():
                               n_splits=3)
     assert np.all(np.isfinite(errs))
     assert np.mean(errs) < 0.4
+
+
+def test_generate_lumini_roundtrip(tmp_path):
+    """The synthetic Lumini writer produces files the real parser loads:
+    consistent wavelength grid, exposure parsed from the filename, material
+    classes separable, and higher exposure -> higher SNR (the grid's
+    exposure dimension has signal to select on)."""
+    base = str(tmp_path / "lumini")
+    written = spectrometer.generate_lumini_dataset(
+        base, seed=0, objects_per_material=2, samples_per_object=3,
+        exposures=(100, 500), n_wavelengths=40)
+    assert len(written) == 6 * 2 * 3 * 2
+    data, wavelengths = spectrometer.load_lumini_dataset(base)
+    assert len(data) == len(written) and wavelengths.shape == (40,)
+
+    from mrgan_tpu import MATERIALS
+
+    objs = spectrometer.lumini_objects(data, MATERIALS, sample_count=3,
+                                       exposure=100)
+    assert len(objs) == 12
+    for o in objs.values():
+        assert o["x"].shape == (3, 40) and o["y"].shape == (3,)
+
+    # nearest-centroid separability well above 1/6 chance
+    x = np.concatenate([o["x"] for o in objs.values()])
+    y = np.concatenate([o["y"] for o in objs.values()])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = np.stack([x[y == c].mean(0) for c in range(6)])
+    acc = np.mean(np.argmin(
+        ((x[:, None] - cents[None]) ** 2).sum(-1), -1) == y)
+    assert acc > 0.6
+
+    # corrected spectra (second half) divide out exposure, so repeats of one
+    # object vary less at exposure 500 than at 100
+    def corrected_std(exposure):
+        rows = [r for r in data
+                if r[0] == "plastic" and r[1] == "plasticobj0"
+                and r[2] == exposure]
+        arr = np.asarray([r[3:] for r in rows])
+        return np.std(arr[:, arr.shape[1] // 2:], axis=0).mean()
+
+    assert corrected_std(500) < corrected_std(100)
