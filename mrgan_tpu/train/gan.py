@@ -55,6 +55,11 @@ class GanConfig:
     # (mr_gan.py:165-167): its iteration counter advances by 2 per batch, so
     # bias correction sees t = 1,3,5,... (disc) / 2,4,6,... (gen). True pins
     # that semantic (a SURVEY §7 "small semantic trap").
+    flat_small_carry: bool = False
+    # Pack every sub-matrix scan-carry leaf (biases/BN/moments/counters)
+    # into one flat buffer per dtype (optim.CarryPack): bitwise-identical
+    # relayout targeting the profiled per-step copy-start stall around many
+    # small carry buffers. Off by default until the v5e A/B confirms a win.
     matmul_weight_dtype: str = "bfloat16"
     # "bfloat16" streams the weight MATRICES through bf16 shadow copies for
     # every matmul pass (fwd + bwd, disc + gen), refreshed inside the Adam
@@ -220,6 +225,20 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
             return (pg, pd, od, og, pg_sh, pd_sh), (ll, lu, terr)
         return (pg, pd, od, og), (ll, lu, terr)
 
+    carry0 = (params["gen"], params["disc"], opt_d, opt_g)
+    if use_sh:
+        carry0 += (_mm_shadow(params["gen"]), _mm_shadow(params["disc"]))
+    if cfg.flat_small_carry:
+        packer = optim.CarryPack(carry0)
+        carry0 = packer.pack(carry0)
+
+        def scan_step(carry_p, inputs):
+            carry, out = batch_step(packer.unpack(carry_p), inputs)
+            return packer.pack(carry), out
+    else:
+        packer = None
+        scan_step = batch_step
+
     def epoch_body(carry, k_epoch):
         k_lab, k_u1, k_u2, k_steps = jax.random.split(k_epoch, 4)
         lab_idx = schedule.tiled_permutation(k_lab, n_lab, n_train)[: nb * bs]
@@ -227,7 +246,7 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         u2_idx = schedule.tiled_permutation(k_u2, n_pool, n_train)[: nb * bs]
         step_keys = jax.random.split(k_steps, nb)
         carry, (ll, lu, terr) = jax.lax.scan(
-            batch_step, carry,
+            scan_step, carry,
             (lab_idx.reshape(nb, bs), u1_idx.reshape(nb, bs),
              u2_idx.reshape(nb, bs), step_keys),
         )
@@ -235,16 +254,15 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
         if cfg.track_epoch_metrics:
             # per-epoch test pass (mr_gan.py:221-223; its batch mean over the
             # exactly-covering 50-row test batches equals the full-set mean)
-            logits_e, _ = nets.discriminator_apply(carry[1], x_test,
-                                                   train=False)
+            pd_e = (packer.unpack(carry) if packer else carry)[1]
+            logits_e, _ = nets.discriminator_apply(pd_e, x_test, train=False)
             out += (losses.error_rate(logits_e, y_test),)
         return carry, out
 
     epoch_keys = jax.random.split(k_run, cfg.epochs)
-    carry0 = (params["gen"], params["disc"], opt_d, opt_g)
-    if use_sh:
-        carry0 += (_mm_shadow(params["gen"]), _mm_shadow(params["disc"]))
     carry, metrics = jax.lax.scan(epoch_body, carry0, epoch_keys)
+    if packer is not None:
+        carry = packer.unpack(carry)
     pg, pd, od, og = carry[:4]
 
     # Final full-test-set evaluation, eval phase (mr_gan.py:230)

@@ -12,8 +12,64 @@ mhat/(sqrt(vhat)+eps). Implemented as a ~20-line pytree transform so it is
 trivially vmappable over fold/sweep axes.
 """
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
+
+
+class CarryPack:
+    """Relayout a scan carry so every sub-matrix leaf (biases, BN scales,
+    Adam moments of those, step counters) lives in ONE flat buffer per dtype
+    instead of dozens of tiny arrays.
+
+    Motivation (v5e profile): the fused GAN step's big Adam/matmul fusions
+    stream at HBM roofline, but ~0.6 ms/step of scheduler stall remains
+    around the many small per-iteration copy-starts of the scan carry's
+    little buffers. Packing is a pure relayout — ravel + concatenate on the
+    way in, static slices + reshape on the way out — so the training math is
+    BITWISE identical (tested); XLA fuses the slices into their consumers
+    and emits the concatenate from the update fusions' epilogues.
+
+    Matrix leaves (ndim >= 2 by default) keep their own buffers: they are
+    already large, and repacking them would add full-size copies to the
+    roofline-bound path.
+    """
+
+    def __init__(self, tree, keep=lambda a: a.ndim >= 2):
+        leaves, self.treedef = jax.tree.flatten(tree)
+        self.keep = [bool(keep(l)) for l in leaves]
+        self.shapes = [tuple(l.shape) for l in leaves]
+        self.sizes = [int(np.prod(s, dtype=np.int64)) for s in self.shapes]
+        dtypes = [jnp.dtype(l.dtype) for l in leaves]
+        self.groups = {}  # dtype name -> leaf indices, deterministic order
+        for i, (k, dt) in enumerate(zip(self.keep, dtypes)):
+            if not k:
+                self.groups.setdefault(dt.name, []).append(i)
+        self.group_names = sorted(self.groups)
+
+    def pack(self, tree):
+        leaves = jax.tree.leaves(tree)
+        kept = [l for l, k in zip(leaves, self.keep) if k]
+        vecs = [jnp.concatenate([leaves[i].ravel()
+                                 for i in self.groups[name]])
+                for name in self.group_names]
+        return (*kept, *vecs)
+
+    def unpack(self, packed):
+        n_kept = sum(self.keep)
+        leaves = [None] * len(self.keep)
+        it = iter(packed[:n_kept])
+        for i, k in enumerate(self.keep):
+            if k:
+                leaves[i] = next(it)
+        for name, vec in zip(self.group_names, packed[n_kept:]):
+            off = 0
+            for i in self.groups[name]:
+                n = self.sizes[i]
+                leaves[i] = vec[off : off + n].reshape(self.shapes[i])
+                off += n
+        return jax.tree.unflatten(self.treedef, leaves)
 
 
 def mm_shadow(params):

@@ -1,5 +1,7 @@
 """End-to-end GAN training smoke/learning tests on tiny synthetic blobs."""
 
+import dataclasses
+
 import numpy as np
 import jax
 
@@ -158,3 +160,16 @@ def test_dense_shadow_respects_explicit_precision():
     # DEFAULT still takes the mixed fast path and returns f32
     out = nets.dense(p_sh, x)
     assert out.dtype == jnp.float32
+
+
+def test_flat_small_carry_bitwise_identical():
+    """flat_small_carry is a pure scan-carry relayout: training results must
+    be BITWISE identical to the default layout, per fold."""
+    rng = np.random.RandomState(13)
+    x, y = _blobs(rng, 30, 20)
+    cfg = gan.GanConfig(epochs=6, batch_size=50, pad_multiple=8)
+    cfg_flat = dataclasses.replace(cfg, flat_small_carry=True)
+    errs = protocol.run_gan_cell(x, y, 10, cfg=cfg, seed=9, n_splits=2)
+    errs_flat = protocol.run_gan_cell(x, y, 10, cfg=cfg_flat, seed=9,
+                                      n_splits=2)
+    np.testing.assert_array_equal(np.asarray(errs), np.asarray(errs_flat))

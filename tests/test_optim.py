@@ -59,3 +59,54 @@ def test_bf16_shadow_bitwise_exact_on_tpu():
     for m, k, n in [(150, 1280, 1000), (50, 100, 500)]:
         bits_equal, maxdiff = chk.check(m, k, n, seed=m)
         assert bits_equal, f"{m}x{k}x{n}: max diff {maxdiff}"
+
+
+def test_carry_pack_roundtrip():
+    """CarryPack: pack/unpack is the identity relayout, matrices keep their
+    own buffers, sub-matrix leaves group into one flat vec per dtype."""
+    import jax.numpy as jnp
+
+    from mrgan_tpu.train import optim
+
+    tree = {
+        "w": jnp.arange(12, dtype=jnp.float32).reshape(3, 4),
+        "b": jnp.asarray([1.0, 2.0], jnp.float32),
+        "m": jnp.asarray([3.0, 4.0, 5.0], jnp.bfloat16),
+        "t": jnp.asarray(7, jnp.int32),
+        "nest": {"gamma": jnp.asarray([8.0], jnp.float32)},
+    }
+    packer = optim.CarryPack(tree)
+    packed = packer.pack(tree)
+    # kept: w; groups: bfloat16 (m), float32 (b, gamma), int32 (t)
+    assert len(packed) == 4
+    assert packed[0].shape == (3, 4)
+    dtypes = sorted(str(a.dtype) for a in packed[1:])
+    assert dtypes == ["bfloat16", "float32", "int32"]
+    out = packer.unpack(packed)
+    for k in tree:
+        np.testing.assert_array_equal(
+            np.asarray(jax.tree.leaves(out[k])[0]),
+            np.asarray(jax.tree.leaves(tree[k])[0]))
+    # exact roundtrip for every leaf, including nested
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)) and a.dtype == b.dtype
+        and a.shape == b.shape, tree, out))
+
+
+def test_carry_pack_under_vmap():
+    """pack/unpack trace correctly under vmap (the fold axis)."""
+    import jax.numpy as jnp
+
+    from mrgan_tpu.train import optim
+
+    tree = {"w": jnp.ones((2, 3, 4)), "b": jnp.zeros((2, 3)),
+            "t": jnp.zeros((2,), jnp.int32)}
+    per_fold = jax.tree.map(lambda a: a[0], tree)
+    packer = optim.CarryPack(per_fold)
+
+    def roundtrip(t):
+        return packer.unpack(packer.pack(t))
+
+    out = jax.vmap(roundtrip)(tree)
+    assert jax.tree.all(jax.tree.map(
+        lambda a, b: bool(jnp.all(a == b)), tree, out))
