@@ -57,7 +57,10 @@ def main():
     n = 7200
     feat_dim = 3632       # modality 5 @ (4 s, 0.2 s): 3*400 + 128*19 mel
     bench_epochs = 20
-    cfg = gan.GanConfig(epochs=bench_epochs)
+    # A/B hook for the flat scan-carry experiment (optim.CarryPack):
+    # MRGAN_BENCH_FLAT_CARRY=1 benches the packed-carry layout.
+    flat = bool(int(os.environ.get("MRGAN_BENCH_FLAT_CARRY", "0")))
+    cfg = gan.GanConfig(epochs=bench_epochs, flat_small_carry=flat)
 
     rng = np.random.RandomState(0)
     x = rng.randn(n, feat_dim).astype(np.float32)

@@ -20,6 +20,11 @@ echo "QUEUE: scaling rc=$?"
 python bench.py | tee /tmp/bench_queue.log
 echo "QUEUE: bench rc=$?"
 
+# 3b. Flat scan-carry A/B (optim.CarryPack): if this beats stage 3, flip
+# GanConfig.flat_small_carry's default and rerun the official line.
+MRGAN_BENCH_FLAT_CARRY=1 python bench.py | tee /tmp/bench_flat.log
+echo "QUEUE: bench-flat rc=$?"
+
 # 4. Hardware-gated bf16 shadow exactness check.
 python tools/check_shadow_exactness.py
 echo "QUEUE: shadow rc=$?"
