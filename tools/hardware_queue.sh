@@ -33,4 +33,8 @@ echo "QUEUE: shadow rc=$?"
 python tools/compare_published.py | tee /tmp/compare_queue.log
 echo "QUEUE: compare rc=$?"
 
+# 6. Serving latency/throughput surface.
+python tools/serve_bench.py | tee /tmp/serve_bench.log
+echo "QUEUE: serve rc=$?"
+
 echo HWQUEUE_DONE
