@@ -35,6 +35,10 @@ class MlpConfig:
     # gan.GanConfig.matmul_weight_dtype (bitwise-identical dots on the MXU;
     # dW rounds to bf16 before the f32 Adam math). The batch-20 MLP step is
     # even more weight-streaming-bound than the GAN's.
+    flat_small_carry: bool = False
+    # Pack sub-matrix scan-carry leaves into one flat buffer per dtype
+    # (optim.CarryPack) — bitwise-identical relayout, same rationale and
+    # default as gan.GanConfig.flat_small_carry.
 
 
 def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
@@ -68,6 +72,20 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
             return (params, opt, optim.mm_shadow(params)), loss
         return (params, opt), loss
 
+    carry0 = (params, opt)
+    if use_sh:
+        carry0 += (optim.mm_shadow(params),)
+    if cfg.flat_small_carry:
+        packer = optim.CarryPack(carry0)
+        carry0 = packer.pack(carry0)
+
+        def scan_step(carry_p, inputs):
+            carry, out = batch_step(packer.unpack(carry_p), inputs)
+            return packer.pack(carry), out
+    else:
+        packer = None
+        scan_step = batch_step
+
     def epoch_body(carry, k_epoch):
         # NOTE: the epoch batch tensor is materialized up front, unlike the
         # GAN trainer's in-scan gathers — measured on v5e the in-scan gather
@@ -78,15 +96,14 @@ def _train_one(key, x_lab, y_lab, x_test, y_test, *, valid_dim, cfg: MlpConfig):
         xb = x_lab[perm].reshape(nb, bs, feat_dim)
         yb = y_onehot[perm].reshape(nb, bs, cfg.num_classes)
         keys = jax.random.split(k_steps, nb)
-        carry, losses_ = jax.lax.scan(batch_step, carry, (xb, yb, keys))
+        carry, losses_ = jax.lax.scan(scan_step, carry, (xb, yb, keys))
         return carry, jnp.mean(losses_)
 
-    carry0 = (params, opt)
-    if use_sh:
-        carry0 += (optim.mm_shadow(params),)
     carry, _ = jax.lax.scan(
         epoch_body, carry0, jax.random.split(k_run, cfg.epochs)
     )
+    if packer is not None:
+        carry = packer.unpack(carry)
     params = carry[0]
     logits = nets.mlp_apply(params, x_test, train=False)
     err = jnp.mean(jnp.argmax(logits, axis=1) != y_test)

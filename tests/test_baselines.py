@@ -56,3 +56,19 @@ def test_svm_cell_protocol():
     errs = svm.run_svm_cell(x, y, percentlabeled=8, seed=4, n_splits=3)
     assert errs.shape == (3,)
     assert errs.mean() < 0.1, errs
+
+
+def test_mlp_flat_small_carry_bitwise_identical():
+    """MlpConfig.flat_small_carry is a pure carry relayout: fold errors must
+    be bitwise identical to the default layout."""
+    import dataclasses
+
+    rng = np.random.RandomState(21)
+    x = np.vstack([rng.randn(40, 24) + 2.5 * i for i in range(6)]).astype(
+        np.float32)
+    y = np.repeat(np.arange(6), 40).astype(np.int32)
+    cfg = mlp.MlpConfig(epochs=4, pad_multiple=8)
+    cfg_flat = dataclasses.replace(cfg, flat_small_carry=True)
+    errs = mlp.run_mlp_cell(x, y, 100, cfg=cfg, seed=3, n_splits=2)
+    errs_flat = mlp.run_mlp_cell(x, y, 100, cfg=cfg_flat, seed=3, n_splits=2)
+    np.testing.assert_array_equal(np.asarray(errs), np.asarray(errs_flat))
