@@ -26,4 +26,10 @@ python mr_gan.py -t 5 $P --checkpoint artifacts/t5_sweep.jsonl \
     --metrics artifacts/t5_metrics.jsonl
 python mr_gan.py -t 3 $P --checkpoint artifacts/t3_sweep.jsonl \
     --metrics artifacts/t3_metrics.jsonl
+
+# Refresh the figures from the regenerated sweeps (curves_from_checkpoint
+# filters records by table, so the concatenated file serves both plots).
+cat artifacts/t1_sweep.jsonl artifacts/t5_sweep.jsonl > /tmp/t15_sweep.jsonl
+python paperplotly.py --checkpoint /tmp/t15_sweep.jsonl --out-dir artifacts \
+    --synthetic
 echo REGEN_DONE
