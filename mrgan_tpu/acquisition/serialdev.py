@@ -10,8 +10,37 @@ import queue
 import subprocess
 import threading
 
-NATIVE_BIN = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.dirname(os.path.abspath(__file__)))), "native", "bin")
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(
+    os.path.dirname(os.path.abspath(__file__)))), "native")
+NATIVE_BIN = os.path.join(_NATIVE_DIR, "bin")
+
+
+def sim_path(name):
+    """Locate (or build) a firmware-simulator binary.
+
+    Resolution order: $MRGAN_NATIVE_BIN override -> checkout native/bin ->
+    on-demand g++ build from the checkout sources (so `pip install -e .`
+    works without a prior `make -C native`). A non-editable install ships
+    no C++ sources; the error says to run from a source checkout.
+    """
+    env_bin = os.environ.get("MRGAN_NATIVE_BIN")
+    if env_bin:
+        return os.path.join(env_bin, name)
+    path = os.path.join(NATIVE_BIN, name)
+    if os.path.exists(path):
+        return path
+    src = os.path.join(_NATIVE_DIR, f"{name}.cpp")
+    if os.path.exists(src):
+        os.makedirs(NATIVE_BIN, exist_ok=True)
+        subprocess.run(
+            ["g++", "-O2", "-std=c++17", "-o", path, src, "-pthread"],
+            check=True, cwd=_NATIVE_DIR)
+        return path
+    raise FileNotFoundError(
+        f"firmware simulator {name!r} not found: build it with "
+        "`make -C native` from a source checkout, or point "
+        "$MRGAN_NATIVE_BIN at a directory containing the built simulators "
+        "(the binaries are not shipped in wheels)")
 
 
 class SerialDevice:
@@ -95,7 +124,7 @@ def get_data(dev, num_outputs=1, max_value=None):
 
 
 def thermal_sim_argv(timescale=1.0, ambient=22.0, material=None):
-    argv = [os.path.join(NATIVE_BIN, "thermal_sim"),
+    argv = [sim_path("thermal_sim"),
             "--timescale", str(timescale), "--ambient", str(ambient)]
     if material is not None:
         argv += ["--material", str(material)]
@@ -103,6 +132,6 @@ def thermal_sim_argv(timescale=1.0, ambient=22.0, material=None):
 
 
 def contactmic_sim_argv(timescale=1.0, rate=4000.0, noise=12.0):
-    return [os.path.join(NATIVE_BIN, "contactmic_sim"),
+    return [sim_path("contactmic_sim"),
             "--timescale", str(timescale), "--rate", str(rate),
             "--noise", str(noise)]

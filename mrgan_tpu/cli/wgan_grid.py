@@ -31,12 +31,20 @@ class _LuminiSource:
         self.spectrometer = spectrometer
         self.materials = list(MATERIALS)
         self.samples = args.samples
-        if args.synthetic and not glob.glob(
-                os.path.join(args.lumini_dir, "*", "*", "*_*_*.txt")):
+        have_files = glob.glob(
+            os.path.join(args.lumini_dir, "*", "*", "*_*_*.txt"))
+        if args.synthetic and not have_files:
             spectrometer.generate_lumini_dataset(
                 args.lumini_dir, seed=0,
                 objects_per_material=args.synthetic_objects,
                 samples_per_object=args.synthetic_samples)
+        elif not have_files:
+            raise SystemExit(
+                f"--dataset lumini: no spectrometer files under "
+                f"{args.lumini_dir!r} (expected "
+                "<material>/<object>/<obj>_<i>_<exposure>.txt); pass "
+                "--synthetic to generate a calibrated stand-in, or "
+                "--lumini-dir to point at the dataset")
         self.data, self.wavelengths = spectrometer.load_lumini_dataset(
             args.lumini_dir)
         self.exposures = args.exposures or list(
@@ -200,12 +208,15 @@ def main(argv=None):
         # extra leading grid dims for the spectrometer dataset: exposure and
         # deriv/log transform (wganlpctsemi.py:531, :659-683)
         data_dims = lumini.grid() if lumini else [None]
+        # (exposure, dlp) preprocessing is fraction-independent; build each
+        # grid point's matrix once, not once per --percents value
+        lumini_xy = {dd: lumini.xy(*dd) for dd in data_dims if dd}
         best_scores, best_parameter_sets = [], []
         for fraction in args.percents:
             best_score, best_parameters = 0.0, []
             for dd in data_dims:
                 if dd is not None:
-                    x, y = lumini.xy(*dd)
+                    x, y = lumini_xy[dd]
                 prefix = ["lumini", *dd] if dd is not None else []
                 for pca in grids[0]:
                     for ns in grids[1]:

@@ -48,28 +48,50 @@ def load_lumini_dataset(data_dir=os.path.join("data", "lumini")):
     return data, wavelengths
 
 
+def _half_slice(values, corrected, reference_quirk):
+    """Select the original or sensitivity-corrected half of a loaded row
+    ([*orig, *corrected], see load_lumini_dataset).
+
+    ``reference_quirk=True`` reproduces the reference's inverted slice
+    verbatim: its processLuminiDataset (util.py:40-46) takes values[:half]
+    for correctedValues=True, which against its own loader's row layout is
+    the ORIGINAL block. Pinned by tests for C9 parity. New APIs
+    (lumini_objects) pass False and get the genuinely corrected half.
+    """
+    half = len(values) // 2
+    first = corrected if reference_quirk else not corrected
+    return values[:half] if first else values[half:]
+
+
+def _iter_rows(data, materials, exposure, sample_count):
+    """Shared filter/cap core: yield (material_index, object, values) for
+    rows matching the material list and exposure, capping samples per
+    object (util.py:33-53 semantics)."""
+    counts = {}
+    for d in data:
+        material, obj, exp = d[0], d[1], d[2]
+        if material not in materials or exp != exposure:
+            continue
+        key = material + obj
+        if counts.get(key, 0) >= sample_count:
+            continue
+        counts[key] = counts.get(key, 0) + 1
+        yield materials.index(material), obj, d[3:]
+
+
 def process_lumini_dataset(data, material_names, object_names,
                            sample_count=20, exposure=100,
                            corrected_values=True):
     """util.py:28-54: filter by material/object/exposure, cap per-object
-    samples, choose corrected or original spectra. Returns (X, y) lists."""
+    samples, choose corrected or original spectra. Returns (X, y) lists.
+    Preserves the reference's inverted half-slice (see _half_slice)."""
     X, y = [], []
-    counts = {}
-    for d in data:
-        material, obj, exp = d[0], d[1], d[2]
-        if material not in material_names or exp != exposure:
-            continue
-        index = material_names.index(material)
+    for index, obj, values in _iter_rows(data, material_names, exposure,
+                                         sample_count):
         if obj not in object_names[index]:
             continue
-        values = d[3:]
-        half = len(values) // 2
-        values = values[:half] if corrected_values else values[half:]
-        key = material + obj
-        if counts.get(key, 0) < sample_count:
-            X.append(values)
-            y.append(index)
-            counts[key] = counts.get(key, 0) + 1
+        X.append(_half_slice(values, corrected_values, reference_quirk=True))
+        y.append(index)
     return X, y
 
 
@@ -150,21 +172,18 @@ def lumini_objects(data, materials=MATERIALS, sample_count=20, exposure=100,
                    corrected_values=True):
     """Group loaded rows into the per-object dict contract used by the
     generalization/LOO protocols ({name: {"x": (n,d), "y": (n,)}}), the
-    spectrometer analog of the haptic loader's leaveObjectOut mode."""
+    spectrometer analog of the haptic loader's leaveObjectOut mode.
+
+    Unlike process_lumini_dataset (which pins the reference's inverted
+    half-slice), corrected_values=True here returns the genuinely
+    sensitivity-corrected block — so the grid's exposure dimension varies
+    SNR, not raw intensity scale."""
     objects = {}
-    counts = {}
-    for d in data:
-        material, obj, exp = d[0], d[1], d[2]
-        if material not in materials or exp != exposure:
-            continue
-        if counts.get(obj, 0) >= sample_count:
-            continue
-        counts[obj] = counts.get(obj, 0) + 1
-        values = d[3:]
-        half = len(values) // 2
-        values = values[:half] if corrected_values else values[half:]
-        entry = objects.setdefault(
-            obj, {"x": [], "y": materials.index(material)})
+    for index, obj, values in _iter_rows(data, materials, exposure,
+                                         sample_count):
+        values = _half_slice(values, corrected_values,
+                             reference_quirk=False)
+        entry = objects.setdefault(obj, {"x": [], "y": index})
         entry["x"].append(values)
     return {
         name: {"x": np.asarray(e["x"], np.float32),

@@ -256,6 +256,14 @@ def test_generate_lumini_roundtrip(tmp_path):
     for o in objs.values():
         assert o["x"].shape == (3, 40) and o["y"].shape == (3,)
 
+    # lumini_objects serves the genuinely corrected block: reflectance
+    # scale (~O(1)), invariant to exposure — not exposure-scaled counts
+    objs500 = spectrometer.lumini_objects(data, MATERIALS, sample_count=3,
+                                          exposure=500)
+    m100 = np.mean([o["x"].mean() for o in objs.values()])
+    m500 = np.mean([o["x"].mean() for o in objs500.values()])
+    assert 0.05 < m100 < 5.0 and 0.5 < m500 / m100 < 2.0, (m100, m500)
+
     # nearest-centroid separability well above 1/6 chance
     x = np.concatenate([o["x"] for o in objs.values()])
     y = np.concatenate([o["y"] for o in objs.values()])

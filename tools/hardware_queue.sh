@@ -5,7 +5,7 @@
 #   nohup bash tools/hardware_queue.sh > /tmp/hwqueue.log 2>&1 &
 # Every stage is independently resumable/skippable; a stage crash moves on
 # to the next (sweep CLIs already checkpoint per cell).
-set -ux
+set -ux -o pipefail
 cd "$(dirname "$0")/.."
 
 # 1. Regenerate every table artifact with the round-2 synthetic generator.
