@@ -19,58 +19,77 @@ import numpy as np
 LUMINI_DLP_GRID = ("deriv1", "deriv2", "preprocess1", "log1", None)
 
 
-class _LuminiSource:
-    """Lumini spectrometer data for the grid search: loads (or synthesizes)
-    the on-disk dataset once, then serves per-(exposure, dlp) feature
-    matrices and per-object dicts for the three test protocols."""
+class _SpectroSource:
+    """Spectrometer data (Lumini or SCiO) for the grid search: loads (or
+    synthesizes) the on-disk dataset once, then serves per-grid-point
+    feature matrices and per-object dicts for the three test protocols.
+
+    Grid dims mirror the reference (wganlpctsemi.py:659-683): lumini sweeps
+    exposure x dlp; scio sweeps spectrum/spectrum_raw x dlp, with the
+    double-width 'spectrum_raw' rows differentiated per half (doubleData)."""
 
     def __init__(self, args):
         from mrgan_tpu import MATERIALS
         from mrgan_tpu.data import spectrometer
 
         self.spectrometer = spectrometer
+        self.kind = args.dataset
         self.materials = list(MATERIALS)
         self.samples = args.samples
-        have_files = glob.glob(
-            os.path.join(args.lumini_dir, "*", "*", "*_*_*.txt"))
+        if self.kind == "lumini":
+            data_dir, pattern = args.lumini_dir, "*_*_*.txt"
+            generate, load = (spectrometer.generate_lumini_dataset,
+                              spectrometer.load_lumini_dataset)
+        else:
+            data_dir, pattern = args.scio_dir, "*_*.csv"
+            generate, load = (spectrometer.generate_scio_dataset,
+                              spectrometer.load_scio_dataset)
+        have_files = glob.glob(os.path.join(data_dir, "*", "*", pattern))
         if args.synthetic and not have_files:
-            spectrometer.generate_lumini_dataset(
-                args.lumini_dir, seed=0,
-                objects_per_material=args.synthetic_objects,
-                samples_per_object=args.synthetic_samples)
+            generate(data_dir, seed=0,
+                     objects_per_material=args.synthetic_objects,
+                     samples_per_object=args.synthetic_samples)
         elif not have_files:
             raise SystemExit(
-                f"--dataset lumini: no spectrometer files under "
-                f"{args.lumini_dir!r} (expected "
-                "<material>/<object>/<obj>_<i>_<exposure>.txt); pass "
-                "--synthetic to generate a calibrated stand-in, or "
-                "--lumini-dir to point at the dataset")
-        self.data, self.wavelengths = spectrometer.load_lumini_dataset(
-            args.lumini_dir)
-        self.exposures = args.exposures or list(
-            spectrometer.LUMINI_EXPOSURES)
+                f"--dataset {self.kind}: no spectrometer files under "
+                f"{data_dir!r} (expected <material>/<object>/{pattern}); "
+                "pass --synthetic to generate a calibrated stand-in, or "
+                f"--{self.kind}-dir to point at the dataset")
+        self.data, self.wavelengths = load(data_dir)
+        if self.kind == "lumini":
+            self.dims = args.exposures or list(spectrometer.LUMINI_EXPOSURES)
+        else:
+            self.dims = args.spectrum_raw
         self.dlps = ([None if d == "none" else d for d in args.dlp]
                      if args.dlp else list(LUMINI_DLP_GRID))
 
     def grid(self):
-        return [(e, dlp) for e in self.exposures for dlp in self.dlps]
+        return [(d, dlp) for d in self.dims for dlp in self.dlps]
 
-    def xy(self, exposure, dlp):
-        """All-object (X, y) at one grid point (processLuminiDataset over
-        every object + the preprocess transform, wganlpctsemi.py:680-683)."""
-        objects = self.objects(exposure, dlp)
+    def xy(self, dim, dlp):
+        """All-object (X, y) at one grid point (process over every object +
+        the preprocess transform, wganlpctsemi.py:675-683)."""
+        objects = self.objects(dim, dlp)
         x = np.concatenate([o["x"] for o in objects.values()])
         y = np.concatenate([o["y"] for o in objects.values()])
         return x, y
 
-    def objects(self, exposure, dlp):
-        objs = self.spectrometer.lumini_objects(
-            self.data, tuple(self.materials), sample_count=self.samples,
-            exposure=exposure)
+    def objects(self, dim, dlp):
+        if self.kind == "lumini":
+            objs = self.spectrometer.lumini_objects(
+                self.data, tuple(self.materials), sample_count=self.samples,
+                exposure=dim)
+            double = False
+        else:
+            objs = self.spectrometer.scio_objects(
+                self.data, tuple(self.materials), sample_count=self.samples,
+                spectrum_raw=dim)
+            double = dim == "spectrum_raw"
         out = {}
         for name, o in sorted(objs.items()):
             x, yy, _ = self.spectrometer.preprocess_spectra(
-                o["x"], o["y"], self.wavelengths, deriv_log=dlp)
+                o["x"], o["y"], self.wavelengths, deriv_log=dlp,
+                double_data=double)
             out[name] = {"x": np.asarray(x, np.float32), "y": yy}
         return out
 
@@ -144,15 +163,24 @@ def main(argv=None):
     parser.add_argument("--percents", type=float, nargs="+", default=[0.01],
                         help="Labeled fractions (wganlpctsemi.py:568-569)")
     parser.add_argument("--n-splits", type=int, default=6)
-    parser.add_argument("--dataset", choices=["haptic", "lumini"],
+    parser.add_argument("--dataset", choices=["haptic", "lumini", "scio"],
                         default="haptic",
                         help="haptic force+temperature features, or the "
-                             "Lumini spectrometer dataset the reference's "
-                             "grids also sweep (wganlpctsemi.py:659-683)")
+                             "Lumini/SCiO spectrometer datasets the "
+                             "reference's grids also sweep "
+                             "(wganlpctsemi.py:659-683)")
     parser.add_argument("--lumini-dir", default=os.path.join("data", "lumini"))
+    parser.add_argument("--scio-dir", default=os.path.join("data", "scio"))
     parser.add_argument("--exposures", type=int, nargs="+", default=None,
                         help="Lumini exposure grid (default: the reference's "
                              "[100..500], wganlpctsemi.py:531)")
+    parser.add_argument("--spectrum-raw", nargs="+",
+                        default=["spectrum"],
+                        choices=["spectrum", "spectrum_raw"],
+                        help="SCiO spectrum grid (the reference's effective "
+                             "grids pick 'spectrum'; 'spectrum_raw' doubles "
+                             "the row with the raw block, "
+                             "wganlpctsemi.py:550,675-677)")
     parser.add_argument("--dlp", nargs="+", default=None,
                         help="deriv/log/preprocess transform grid ('none' "
                              "for identity; default: the reference's "
@@ -176,8 +204,9 @@ def main(argv=None):
         synthetic_seed=0 if args.synthetic else None,
         synthetic_kwargs={"pokes_per_object": args.synthetic_pokes},
     )
-    lumini = _LuminiSource(args) if args.dataset == "lumini" else None
-    if set(args.test) & {"0"} and lumini is None:
+    spectro = (_SpectroSource(args) if args.dataset in ("lumini", "scio")
+               else None)
+    if set(args.test) & {"0"} and spectro is None:
         x, y = mreo.load_features(**load_kw)
 
     t = time.time()
@@ -207,17 +236,17 @@ def main(argv=None):
         print(titles[algorithm])
         # extra leading grid dims for the spectrometer dataset: exposure and
         # deriv/log transform (wganlpctsemi.py:531, :659-683)
-        data_dims = lumini.grid() if lumini else [None]
+        data_dims = spectro.grid() if spectro else [None]
         # (exposure, dlp) preprocessing is fraction-independent; build each
         # grid point's matrix once, not once per --percents value
-        lumini_xy = {dd: lumini.xy(*dd) for dd in data_dims if dd}
+        spectro_xy = {dd: spectro.xy(*dd) for dd in data_dims if dd}
         best_scores, best_parameter_sets = [], []
         for fraction in args.percents:
             best_score, best_parameters = 0.0, []
             for dd in data_dims:
                 if dd is not None:
-                    x, y = lumini_xy[dd]
-                prefix = ["lumini", *dd] if dd is not None else []
+                    x, y = spectro_xy[dd]
+                prefix = ([args.dataset, *dd] if dd is not None else [])
                 for pca in grids[0]:
                     for ns in grids[1]:
                         for kernel in grids[2]:
@@ -254,16 +283,16 @@ def main(argv=None):
         # runs the identical protocols on the haptic dataset's object
         # structure (the reference's own file is unrunnable here: its object
         # lists are undefined and loadScioDataset is not shipped).
-        if lumini:
-            object_sets = [(["lumini", e, dlp], (e, dlp))
-                           for e, dlp in lumini.grid()]
+        if spectro:
+            object_sets = [(([args.dataset, d, dlp]), (d, dlp))
+                           for d, dlp in spectro.grid()]
         else:
             object_sets = [([], mreo.load_features(leave_object_out=True,
                                                    **load_kw))]
         for prefix, objects in object_sets:
-            if lumini:
+            if spectro:
                 print("Parameters:", *prefix)
-                objects = lumini.objects(*objects)
+                objects = spectro.objects(*objects)
             by_material = {}
             for name, data in objects.items():
                 by_material.setdefault(int(data["y"][0]), []).append(name)

@@ -192,6 +192,146 @@ def lumini_objects(data, materials=MATERIALS, sample_count=20, exposure=100,
     }
 
 
+# --------------------------------------------------------------------------
+# SCiO (NIR) dataset. The reference's grids sweep a SCiO dataset through
+# util.loadScioDataset / processScioDataset (wganlpctsemi.py:661-677), but
+# ships neither function — only the call-site semantics survive:
+# spectrum_raw='spectrum' selects the processed spectrum, 'spectrum_raw'
+# returns DOUBLE-width rows (processed + raw stacked) whose derivative is
+# taken per half (preprocess doubleData, wganlpctsemi.py:677). The on-disk
+# format here is therefore this framework's own: one CSV per measurement,
+# header wavelength,spectrum,raw.
+# --------------------------------------------------------------------------
+
+SCIO_N_WAVELENGTHS = 331  # 740-1070 nm NIR band
+
+
+def load_scio_dataset(data_dir=os.path.join("data", "scio")):
+    """Returns (rows, wavelengths); each row is
+    [material, object, *spectrum, *raw] (double-width values block)."""
+    import csv
+
+    data = []
+    wavelengths = None
+    for filename in sorted(glob.glob(
+            os.path.join(data_dir, "*", "*", "*_*.csv"))):
+        parts = filename.split(os.sep)
+        material, object_name = parts[-3], parts[-2]
+        with open(filename, newline="") as f:
+            rows = list(csv.reader(f))[1:]  # skip header
+        arr = np.asarray(rows, np.float64)
+        if wavelengths is None:
+            wavelengths = arr[:, 0]
+        elif not np.array_equal(wavelengths, arr[:, 0]):
+            raise ValueError(
+                f"Found a file with inconsistent wavelengths: {filename}")
+        data.append([material, object_name]
+                    + arr[:, 1].tolist() + arr[:, 2].tolist())
+    return data, wavelengths
+
+
+def process_scio_dataset(data, material_names, object_names,
+                         sample_count=100, spectrum_raw="spectrum"):
+    """Call-site semantics of the reference's processScioDataset
+    (wganlpctsemi.py:675-676): filter by material/object lists, cap samples
+    per object; 'spectrum' -> processed block, 'spectrum_raw' -> the full
+    double-width [processed, raw] row (deriv then runs per half)."""
+    X, y, counts = [], [], {}
+    for d in data:
+        material, obj, values = d[0], d[1], d[2:]
+        if material not in material_names:
+            continue
+        index = material_names.index(material)
+        if obj not in object_names[index]:
+            continue
+        key = material + obj
+        if counts.get(key, 0) >= sample_count:
+            continue
+        counts[key] = counts.get(key, 0) + 1
+        X.append(values if spectrum_raw == "spectrum_raw"
+                 else values[: len(values) // 2])
+        y.append(index)
+    return X, y
+
+
+def scio_objects(data, materials=MATERIALS, sample_count=100,
+                 spectrum_raw="spectrum"):
+    """Per-object dict contract for the SCiO rows (cf. lumini_objects)."""
+    objects = {}
+    counts = {}
+    for d in data:
+        material, obj, values = d[0], d[1], d[2:]
+        if material not in materials:
+            continue
+        if counts.get(obj, 0) >= sample_count:
+            continue
+        counts[obj] = counts.get(obj, 0) + 1
+        vals = (values if spectrum_raw == "spectrum_raw"
+                else values[: len(values) // 2])
+        entry = objects.setdefault(
+            obj, {"x": [], "y": materials.index(material)})
+        entry["x"].append(vals)
+    return {
+        name: {"x": np.asarray(e["x"], np.float32),
+               "y": np.full(len(e["x"]), e["y"], np.int32)}
+        for name, e in objects.items()
+    }
+
+
+def generate_scio_dataset(out_dir, seed=0, materials=MATERIALS,
+                          objects_per_material=6, samples_per_object=20,
+                          n_wavelengths=SCIO_N_WAVELENGTHS):
+    """Synthetic NIR spectrometer dataset in the load_scio_dataset format.
+
+    NIR signatures live in overtone absorption bands; per-object jitter
+    overlaps materials; raw = reflectance x sensor response + shot noise,
+    spectrum = sensitivity-corrected raw (noisier than the lumini corrected
+    block — NIR single-scan SNR is the realistic limiter)."""
+    rng = np.random.RandomState(seed)
+    wavelengths = np.linspace(740.0, 1070.0, n_wavelengths)
+    response = (0.3 + np.exp(-(((wavelengths - 920.0) / 180.0) ** 2))) / 1.3
+    bands = {
+        "plastic": [(930, 35, 0.40), (1010, 45, 0.30)],
+        "glass": [(950, 120, 0.15)],
+        "fabric": [(860, 40, 0.35), (980, 50, 0.30)],
+        "metal": [(900, 200, 0.55)],
+        "wood": [(840, 50, 0.30), (970, 60, 0.35)],
+        "ceramic": [(800, 60, 0.40), (1040, 50, 0.30)],
+    }
+    baselines = {"plastic": 0.35, "glass": 0.15, "fabric": 0.25,
+                 "metal": 0.50, "wood": 0.30, "ceramic": 0.40}
+    written = []
+    for material in materials:
+        for o in range(objects_per_material):
+            obj = f"{material}obj{o}"
+            obj_dir = os.path.join(out_dir, material, obj)
+            os.makedirs(obj_dir, exist_ok=True)
+            obj_bands = [(c + rng.normal(0, 12.0), w * rng.lognormal(0, 0.15),
+                          a * rng.lognormal(0, 0.20))
+                         for c, w, a in bands[material]]
+            refl = (baselines[material] * rng.lognormal(0, 0.15)
+                    + rng.normal(0, 6e-5) * (wavelengths - 900.0))
+            for c, w, a in obj_bands:
+                # absorption bands: dips in reflectance
+                refl = refl - a * 0.4 * np.exp(
+                    -(((wavelengths - c) / w) ** 2))
+            refl = np.clip(refl + 0.3, 0.02, None)
+            for i in range(samples_per_object):
+                gain = rng.lognormal(0, 0.04)
+                raw = 1000.0 * refl * response * gain
+                raw = np.clip(
+                    raw + rng.normal(size=raw.shape)
+                    * (np.sqrt(np.abs(raw)) * 0.5 + 1.0), 0.0, None)
+                spectrum = raw / (1000.0 * response)
+                path = os.path.join(obj_dir, f"{obj}_{i}.csv")
+                with open(path, "w") as f:
+                    f.write("wavelength,spectrum,raw\n")
+                    for wl, s, r in zip(wavelengths, spectrum, raw):
+                        f.write(f"{wl:.2f},{s:.6f},{r:.4f}\n")
+                written.append(path)
+    return written
+
+
 def first_deriv(x, wavelengths):
     """First derivative w.r.t. wavelength (util.py:56-64), vectorized on
     device for the whole batch."""

@@ -283,3 +283,21 @@ def test_wgan_grid_lumini_test2_loo_smoke(capsys, tmp_path):
     assert "Parameters: lumini 100 None" in out
     assert out.count("Test accuracy:") == 12  # 6 materials x 2 objects
     assert "Average leave-one-object-out accuracy:" in out
+
+
+def test_wgan_grid_scio_test0_smoke(capsys, tmp_path):
+    """--dataset scio sweeps spectrum/spectrum_raw x dlp through test 0
+    (the reference's SCiO grid shape, wganlpctsemi.py:661-677)."""
+    from mrgan_tpu.cli import wgan_grid
+
+    wgan_grid.main(["-t", "0", "-a", "svm", "--dataset", "scio",
+                    "--synthetic", "--synthetic-objects", "2",
+                    "--synthetic-samples", "3", "--samples", "3",
+                    "--spectrum-raw", "spectrum", "spectrum_raw",
+                    "--dlp", "deriv1", "--n-splits", "2",
+                    "--percents", "1.0",
+                    "--scio-dir", str(tmp_path / "scio")])
+    out = capsys.readouterr().out
+    assert "Parameters: scio spectrum deriv1" in out
+    assert "Parameters: scio spectrum_raw deriv1" in out
+    assert "Best score:" in out

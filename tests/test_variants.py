@@ -283,3 +283,48 @@ def test_generate_lumini_roundtrip(tmp_path):
         return np.std(arr[:, arr.shape[1] // 2:], axis=0).mean()
 
     assert corrected_std(500) < corrected_std(100)
+
+
+def test_generate_scio_roundtrip(tmp_path):
+    """SCiO writer -> loader -> per-object dicts: spectrum vs double-width
+    spectrum_raw semantics (wganlpctsemi.py:675-677), classes separable."""
+    base = str(tmp_path / "scio")
+    written = spectrometer.generate_scio_dataset(
+        base, seed=0, objects_per_material=2, samples_per_object=3,
+        n_wavelengths=40)
+    assert len(written) == 6 * 2 * 3
+    data, wl = spectrometer.load_scio_dataset(base)
+    assert len(data) == 36 and wl.shape == (40,)
+
+    from mrgan_tpu import MATERIALS
+
+    objs = spectrometer.scio_objects(data, MATERIALS, sample_count=3)
+    assert len(objs) == 12
+    for o in objs.values():
+        assert o["x"].shape == (3, 40)
+    objs_raw = spectrometer.scio_objects(data, MATERIALS, sample_count=3,
+                                         spectrum_raw="spectrum_raw")
+    for o in objs_raw.values():
+        assert o["x"].shape == (3, 80)  # processed + raw stacked
+
+    # process_scio_dataset filter/cap semantics
+    X, y = spectrometer.process_scio_dataset(
+        data, ["wood", "metal"], [["woodobj0"], ["metalobj1"]],
+        sample_count=2)
+    assert y == [1, 1, 0, 0] or sorted(y) == [0, 0, 1, 1]
+    assert all(len(r) == 40 for r in X)
+
+    # double-width rows differentiate per half under preprocess
+    x0 = objs_raw["plasticobj0"]["x"]
+    got, _, _ = spectrometer.preprocess_spectra(
+        x0, np.zeros(len(x0)), wl, deriv_log="deriv1", double_data=True)
+    assert got.shape == x0.shape
+
+    # nearest-centroid separability well above 1/6 chance
+    x = np.concatenate([o["x"] for o in objs.values()])
+    yv = np.concatenate([o["y"] for o in objs.values()])
+    x = x / np.linalg.norm(x, axis=1, keepdims=True)
+    cents = np.stack([x[yv == c].mean(0) for c in range(6)])
+    acc = np.mean(np.argmin(
+        ((x[:, None] - cents[None]) ** 2).sum(-1), -1) == yv)
+    assert acc > 0.6, acc
