@@ -37,4 +37,8 @@ echo "QUEUE: compare rc=$?"
 python tools/serve_bench.py | tee /tmp/serve_bench.log
 echo "QUEUE: serve rc=$?"
 
+# 7. Splice the round's hardware evidence into STATUS.md.
+python tools/summarize_regen.py --write
+echo "QUEUE: summarize rc=$?"
+
 echo HWQUEUE_DONE
