@@ -68,6 +68,51 @@ def test_pipeline_matches_scipy_reference(duration, contact_len):
         np.testing.assert_allclose(g, w, atol=atol * scale, err_msg=key)
 
 
+@pytest.mark.slow
+def test_raw_to_tables_end_to_end(tmp_path, monkeypatch, capsys):
+    """The complete vertical slice without a PR2 (SURVEY §7 item 9): raw
+    pickles in the collection stack's save schema -> preprocess.run (the
+    processdata.py semantics, reference processdata.py:10-92) ->
+    processed_0.1sbefore pickles -> mreo loader -> a real (tiny) GAN table-1
+    cell through the production CLI, checkpointed, with finite fold errors."""
+    import json
+
+    from mrgan_tpu import MATERIALS
+    from mrgan_tpu.cli import tables
+
+    raw_dir = tmp_path / "data_raw"
+    out_dir = tmp_path / "data_processed"
+    raw_dir.mkdir()
+    for mi, material in enumerate(MATERIALS):
+        for obj in range(2):
+            raw = synthetic.generate_raw_file(
+                seed=100 * mi + obj, material=material, pokes=3)
+            with open(raw_dir / f"newdata_{material}_obj{obj}_batch0.pkl",
+                      "wb") as f:
+                pickle.dump(raw, f)
+
+    # Table 1/2/3/6 read the (forcetemp 4 s, contact 0.2 s) windows
+    # (reference mr_gan.py:32).
+    preprocess.run(raw_dir=str(raw_dir), out_dir=str(out_dir),
+                   configs=[(4, 0.2)], prefix="", verbose=False)
+
+    monkeypatch.setattr(tables, "PERCENTS_KFOLD", [100])
+    ckpt = tmp_path / "sweep.jsonl"
+    tables.gan_main([
+        "-t", "1", "--data-dir", str(out_dir), "--modalities", "2",
+        "--epochs", "2", "--seed", "0", "--no-mesh", "--strict",
+        "--checkpoint", str(ckpt),
+    ])
+    out = capsys.readouterr().out
+    assert "Average error:" in out
+
+    recs = [json.loads(l) for l in ckpt.read_text().splitlines() if l.strip()]
+    assert len(recs) == 1
+    errors = np.asarray(recs[0]["result"], np.float64)
+    assert errors.shape == (6,)  # 6 stratified folds actually trained
+    assert np.all(np.isfinite(errors)) and np.all((0 <= errors) & (errors <= 1))
+
+
 def test_run_writes_loadable_pickles(tmp_path):
     raw_dir = tmp_path / "data_raw"
     out_dir = tmp_path / "data_processed"
