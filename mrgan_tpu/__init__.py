@@ -24,6 +24,18 @@ TPU framework:
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("MRGAN_PLATFORM"):
+    # Select the JAX backend for any mrgan_tpu entry point. JAX's own
+    # JAX_PLATFORMS env var is not enough on hosts whose site config
+    # pre-imports jax and registers a remote TPU backend (it is read at
+    # import time); jax.config still honors an update made before first
+    # device use, which package import is.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", _os.environ["MRGAN_PLATFORM"])
+
 MATERIALS = ("plastic", "glass", "fabric", "metal", "wood", "ceramic")
 NUM_CLASSES = len(MATERIALS)
 

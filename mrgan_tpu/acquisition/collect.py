@@ -30,7 +30,8 @@ class CollectData:
                  vertical_movement=False, poke_distance=0.1,
                  data_dir="data_raw", hz=1000, verbose=False,
                  flat=False, quarterflat=False, rotateonce=False,
-                 handle=False, neverrotate=False, pause_input=None):
+                 handle=False, neverrotate=False, pause_input=None,
+                 classifier=None):
         self.objectName = object_name
         self.clock = clock
         self.control = controller
@@ -54,6 +55,12 @@ class CollectData:
         # None = poll sys.stdin when it is a tty, callable = injected check
         # returning True when the operator asked to pause (tests use this)
         self.pauseInput = pause_input
+        # online material recognition (beyond the reference, which only
+        # records): anything with classify_raw_poke(dataAll) — normally a
+        # serve.MaterialClassifier — is called after each poke's bulk replay
+        # and the prediction is published on /semihaptics/prediction
+        self.classifier = classifier
+        self.predictions = []
 
         self.zeroing = False
         self.recording = False
@@ -345,6 +352,22 @@ class CollectData:
             if self.verbose:
                 print("Iteration %d collected, collision times:" % i,
                       (self.collisionTimeForce, self.collisionTimeTemp))
+            if self.classifier is not None:
+                # inference is auxiliary: a failed classification (e.g. a
+                # too-short window on an early-timeout poke) must never
+                # interrupt data collection
+                try:
+                    pred = self.classifier.classify_raw_poke(self.dataAll)
+                except Exception as e:  # noqa: BLE001
+                    pred = None
+                    print("Poke %d classification failed: %s: %s"
+                          % (i, type(e).__name__, e))
+                if pred is not None:
+                    self.predictions.append((i, pred))
+                    self.client.publish("/semihaptics/prediction", pred)
+                    if self.verbose:
+                        print("Iteration %d predicted material: %s"
+                              % (i, pred))
 
             # retreat, rotate the platter, and reheat (:377-399)
             self.control.moveGripperTo(start_pos, init_right_rpy, timeout=1.0,

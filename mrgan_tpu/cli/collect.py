@@ -35,10 +35,20 @@ def main(argv=None):
     parser.add_argument("--timescale", type=float, default=20.0,
                         help="Simulation speed multiplier")
     parser.add_argument("--data-dir", default="data_raw")
+    parser.add_argument("--classifier", default=None, metavar="CKPT",
+                        help="serve.MaterialClassifier checkpoint: classify "
+                        "each poke online and publish the prediction on "
+                        "/semihaptics/prediction")
     args = parser.parse_args(argv)
 
     from mrgan_tpu.acquisition import collect, controller, publishers, serialdev
     from mrgan_tpu.acquisition.bus import BusServer, SimClock
+
+    classifier = None
+    if args.classifier:
+        from mrgan_tpu.serve import MaterialClassifier
+
+        classifier = MaterialClassifier.load(args.classifier)
 
     clock = SimClock(args.timescale)
     server = BusServer()
@@ -68,7 +78,7 @@ def main(argv=None):
         vertical_movement=args.vertmove, data_dir=args.data_dir, verbose=True,
         flat=args.flat, quarterflat=args.quarterflat,
         rotateonce=args.rotateonce, handle=args.handle,
-        neverrotate=args.neverrotate)
+        neverrotate=args.neverrotate, classifier=classifier)
     try:
         saved = collector.performInteraction(rng=np.random)
         print("Saved:", saved)

@@ -29,13 +29,19 @@ from .utils import rng as rng_util
 
 class MaterialClassifier:
     def __init__(self, disc_params, mean, inv_std, modality=None,
-                 materials=MATERIALS, valid_dim=None):
+                 materials=MATERIALS, valid_dim=None, ft_time=4.0,
+                 c_time=0.2):
         self.disc_params = disc_params
         self.mean = np.asarray(mean, np.float32)
         self.inv_std = np.asarray(inv_std, np.float32)
         self.modality = modality
         self.materials = tuple(materials)
         self.valid_dim = valid_dim if valid_dim is not None else len(self.mean)
+        # impact-window durations the training features were resampled to
+        # (processdata.py's duration/contactAccelLength); classify_raw_poke
+        # windows live sensor streams with the same config
+        self.ft_time = float(ft_time)
+        self.c_time = float(c_time)
 
         @jax.jit
         def _logits(params, x):
@@ -75,6 +81,28 @@ class MaterialClassifier:
             force1=force1, contact=contact))
         return self.classify(feats)
 
+    def classify_raw_poke(self, raw, index=-1):
+        """Online robot-side inference: one poke straight from the collection
+        stack's save schema (collectdataPoke.py's dataAll batch dict) ->
+        impact windowing + lerp resampling at the classifier's trained
+        durations (processdata.py:56-83 semantics) -> on-device frontend ->
+        material name."""
+        from .data import preprocess
+
+        one = {
+            key: [raw[key][index]]
+            for key in ("collisionTime", "RGripRFingerTime",
+                        "RGripRFingerForce", "RGripRFingerPressure",
+                        "temperatureTime", "temperatureRaw",
+                        "contactmicTime", "contactmic")
+        }
+        w = preprocess.process_sequences(one, self.ft_time, self.c_time)
+        return self.classify_pokes(
+            temperature=np.asarray(w["temperature"], np.float32),
+            force0=np.asarray(w["force0"], np.float32),
+            force1=np.asarray(w["force1"], np.float32),
+            contact=np.asarray(w["contact"], np.float32))[0]
+
     # -- persistence ----------------------------------------------------------
 
     def save(self, path):
@@ -85,6 +113,8 @@ class MaterialClassifier:
             "modality": np.int32(-1 if self.modality is None else
                                  self.modality),
             "valid_dim": np.int32(self.valid_dim),
+            "ft_time": np.float64(self.ft_time),
+            "c_time": np.float64(self.c_time),
         })
 
     @classmethod
@@ -93,11 +123,14 @@ class MaterialClassifier:
         modality = int(blob["modality"])
         return cls(blob["disc"], blob["mean"], blob["inv_std"],
                    None if modality < 0 else modality,
-                   valid_dim=int(blob["valid_dim"]))
+                   valid_dim=int(blob["valid_dim"]),
+                   ft_time=float(blob.get("ft_time", 4.0)),
+                   c_time=float(blob.get("c_time", 0.2)))
 
 
 def fit_classifier(x, y, modality=None, percentlabeled=100,
-                   cfg: gan.GanConfig = gan.GanConfig(), seed=0):
+                   cfg: gan.GanConfig = gan.GanConfig(), seed=0,
+                   ft_time=4.0, c_time=0.2):
     """Train the semi-supervised GAN on (x, y) and return a deployable
     classifier (scaler stats fit on the whole provided training set, like a
     final production fit)."""
@@ -123,4 +156,5 @@ def fit_classifier(x, y, modality=None, percentlabeled=100,
         n_train=len(xs), valid_dim=valid_dim, cfg=cfg, with_params=True)
     disc = jax.tree.map(lambda a: np.asarray(a[0]), aux["params"]["disc"])
     return MaterialClassifier(disc, mean, inv, modality,
-                              valid_dim=valid_dim)
+                              valid_dim=valid_dim, ft_time=ft_time,
+                              c_time=c_time)

@@ -111,14 +111,38 @@ def test_full_collection_to_processed(tmp_path):
                                 material="metal")
     world.start()
     control = controller.SimController(world=world, clock=clock)
+
+    class StubClassifier:
+        """Records the per-poke batch state; online inference wiring only
+        (real classify_raw_poke math is covered in test_serve.py)."""
+
+        calls = []
+
+        def classify_raw_poke(self, raw, index=-1):
+            self.calls.append(len(raw["collisionTime"]))
+            assert len(raw["contactmic"]) == len(raw["collisionTime"])
+            return "metal"
+
+    predictions = []
+    pred_client = BusClient(server.address)
+    pred_client.subscribe("/semihaptics/prediction", predictions.append)
     collector = collect.CollectData(
         "metal_block", server.address, clock, control,
         sequences_per_object=2, save_batch_size=25,
-        data_dir=str(tmp_path), verbose=False)
+        data_dir=str(tmp_path), verbose=False,
+        classifier=StubClassifier())
     try:
         saved = collector.performInteraction(rng=np.random.RandomState(0))
     finally:
         world.stop(); temp_pub.close(); mic_pub.close(); server.close()
+
+    # online classification ran once per poke on the growing batch dict,
+    # and each prediction was published on the bus
+    assert StubClassifier.calls == [1, 2]
+    assert collector.predictions == [(0, "metal"), (1, "metal")]
+    time.sleep(0.3)  # bus delivery
+    pred_client.close()
+    assert predictions == ["metal", "metal"]
 
     assert len(saved) == 1
     with open(saved[0], "rb") as f:

@@ -2,7 +2,9 @@
 
 import numpy as np
 
-from mrgan_tpu import serve
+from mrgan_tpu import MATERIALS, serve
+from mrgan_tpu.data import preprocess, synthetic
+from mrgan_tpu.ops import features as feat_ops
 from mrgan_tpu.train import gan
 
 
@@ -32,6 +34,44 @@ def test_fit_classify_roundtrip(tmp_path):
     path = clf.save(str(tmp_path / "clf"))
     clf2 = serve.MaterialClassifier.load(path)
     np.testing.assert_array_equal(clf2.predict(x[:50]), clf.predict(x[:50]))
+
+
+def test_classify_raw_poke_deployment_loop(tmp_path):
+    """The full robot-side serving loop: train on windows preprocessed from
+    raw acquisition pickles, deploy, then classify HELD-OUT raw pokes via
+    classify_raw_poke (impact windowing + lerp + frontend + discriminator).
+    The window durations ride the checkpoint."""
+    ft_time, c_time = 0.5, 0.05
+    train_w, train_y, test_raw = [], [], []
+    for mi, material in enumerate(MATERIALS):
+        raw = synthetic.generate_raw_file(seed=mi, material=material, pokes=8)
+        w = preprocess.process_sequences(raw, ft_time, c_time)
+        train_w.append(w)
+        train_y += [mi] * 8
+        test_raw.append(
+            synthetic.generate_raw_file(seed=100 + mi, material=material,
+                                        pokes=1))
+
+    x = np.asarray(feat_ops.assemble(
+        2,
+        temperature=np.concatenate([np.asarray(w["temperature"], np.float32)
+                                    for w in train_w]),
+        force0=np.concatenate([np.asarray(w["force0"], np.float32)
+                               for w in train_w]),
+        force1=np.concatenate([np.asarray(w["force1"], np.float32)
+                               for w in train_w])))
+    cfg = gan.GanConfig(noise_size=8, batch_size=10, epochs=30, pad_multiple=8)
+    clf = serve.fit_classifier(x, np.asarray(train_y, np.int32), modality=2,
+                               cfg=cfg, seed=0, ft_time=ft_time, c_time=c_time)
+
+    path = clf.save(str(tmp_path / "clf"))
+    clf = serve.MaterialClassifier.load(path)
+    assert (clf.ft_time, clf.c_time) == (ft_time, c_time)
+
+    preds = [clf.classify_raw_poke(raw, index=0) for raw in test_raw]
+    assert all(p in MATERIALS for p in preds)
+    hits = sum(p == m for p, m in zip(preds, MATERIALS))
+    assert hits >= 3, preds  # well above the 1/6 chance rate
 
 
 def test_classify_pokes_through_frontend():
