@@ -4,41 +4,45 @@
 # by a recovery watcher after a TPU-pool outage:
 #   nohup bash tools/hardware_queue.sh > /tmp/hwqueue.log 2>&1 &
 # Every stage is independently resumable/skippable; a stage crash moves on
-# to the next (sweep CLIs already checkpoint per cell).
+# to the next (sweep CLIs already checkpoint per cell). Each stage is also
+# bounded with `timeout`: if the pool drops mid-queue, backend init hangs
+# forever inside the client (known outage shape), and an unbounded stage
+# would wedge the whole queue. A timed-out stage leaves its checkpoint
+# behind, so relaunching the queue retries only what is missing.
 set -ux -o pipefail
 cd "$(dirname "$0")/.."
 
 # 1. Regenerate every table artifact with the round-2 synthetic generator.
-bash tools/regen_artifacts.sh
+timeout 21600 bash tools/regen_artifacts.sh
 echo "QUEUE: regen rc=$?"
 
 # 2. Measured sweep-axis scaling curve (VERDICT round-1 item 4).
-python tools/scaling_curve.py --out artifacts/scaling_curve.jsonl
+timeout 3600 python tools/scaling_curve.py --out artifacts/scaling_curve.jsonl
 echo "QUEUE: scaling rc=$?"
 
 # 3. Official benchmark line.
-python bench.py | tee /tmp/bench_queue.log
+timeout 1800 python bench.py | tee /tmp/bench_queue.log
 echo "QUEUE: bench rc=$?"
 
 # 3b. Flat scan-carry A/B (optim.CarryPack): if this beats stage 3, flip
 # GanConfig.flat_small_carry's default and rerun the official line.
-MRGAN_BENCH_FLAT_CARRY=1 python bench.py | tee /tmp/bench_flat.log
+MRGAN_BENCH_FLAT_CARRY=1 timeout 1800 python bench.py | tee /tmp/bench_flat.log
 echo "QUEUE: bench-flat rc=$?"
 
 # 4. Hardware-gated bf16 shadow exactness check.
-python tools/check_shadow_exactness.py
+timeout 1200 python tools/check_shadow_exactness.py
 echo "QUEUE: shadow rc=$?"
 
 # 5. Published-curve comparison over the fresh artifacts.
-python tools/compare_published.py | tee /tmp/compare_queue.log
+timeout 600 python tools/compare_published.py | tee /tmp/compare_queue.log
 echo "QUEUE: compare rc=$?"
 
 # 6. Serving latency/throughput surface.
-python tools/serve_bench.py | tee /tmp/serve_bench.log
+timeout 1800 python tools/serve_bench.py | tee /tmp/serve_bench.log
 echo "QUEUE: serve rc=$?"
 
 # 7. Splice the round's hardware evidence into STATUS.md.
-python tools/summarize_regen.py --write
+timeout 600 python tools/summarize_regen.py --write
 echo "QUEUE: summarize rc=$?"
 
 echo HWQUEUE_DONE

@@ -14,22 +14,22 @@ for f in t1_sweep t1_metrics t3_sweep t3_metrics t5_sweep t5_metrics \
 done
 
 P="--synthetic --seed 0 --epochs 100 --no-mesh"
-python mr_gan.py -t 1 $P --checkpoint artifacts/t1_sweep.jsonl \
+timeout 7200 python mr_gan.py -t 1 $P --checkpoint artifacts/t1_sweep.jsonl \
     --metrics artifacts/t1_metrics.jsonl
-python mr_gan.py -t 6 $P --checkpoint artifacts/t6_sweep.jsonl \
+timeout 3600 python mr_gan.py -t 6 $P --checkpoint artifacts/t6_sweep.jsonl \
     --metrics artifacts/t6_metrics.jsonl
-python mr_nn.py -t 2 4 $P --checkpoint artifacts/t24_nn.jsonl \
+timeout 7200 python mr_nn.py -t 2 4 $P --checkpoint artifacts/t24_nn.jsonl \
     --metrics artifacts/t24_nn_metrics.jsonl
-python mr_svm.py -t 2 $P --checkpoint artifacts/t2_svm.jsonl \
+timeout 3600 python mr_svm.py -t 2 $P --checkpoint artifacts/t2_svm.jsonl \
     --metrics artifacts/t2_svm_metrics.jsonl
-python mr_gan.py -t 5 $P --checkpoint artifacts/t5_sweep.jsonl \
+timeout 7200 python mr_gan.py -t 5 $P --checkpoint artifacts/t5_sweep.jsonl \
     --metrics artifacts/t5_metrics.jsonl
-python mr_gan.py -t 3 $P --checkpoint artifacts/t3_sweep.jsonl \
+timeout 9000 python mr_gan.py -t 3 $P --checkpoint artifacts/t3_sweep.jsonl \
     --metrics artifacts/t3_metrics.jsonl
 
 # Refresh the figures from the regenerated sweeps (curves_from_checkpoint
 # filters records by table, so the concatenated file serves both plots).
 cat artifacts/t1_sweep.jsonl artifacts/t5_sweep.jsonl > /tmp/t15_sweep.jsonl
-python paperplotly.py --checkpoint /tmp/t15_sweep.jsonl --out-dir artifacts \
+timeout 1800 python paperplotly.py --checkpoint /tmp/t15_sweep.jsonl --out-dir artifacts \
     --synthetic
 echo REGEN_DONE
