@@ -11,7 +11,7 @@ if __name__ == "__main__":
     gan_main()
 
 
-def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=100,
+def mr_gan(X, y, percentlabeled=50, percentunlabeled=None, epochs=None,
            trainTestSets=None, verbose=False, **kw):
     """Reference function API (`from mr_gan import mr_gan`): see
     mrgan_tpu.train.protocol.mr_gan."""

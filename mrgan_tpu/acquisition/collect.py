@@ -239,13 +239,13 @@ class CollectData:
         would have left it (collectdataPoke.py:289-296), so --startcount
         restarts land on un-poked surface."""
         sc, seq = self.startCount, self.sequencesPerObject
+        quarter = max(1, int(seq / 4.0))  # seq < 4 would divide by zero
         if sc == 0 or self.neverrotate:
             return
         if (self.flat or self.rotateonce) and sc >= int(seq / 2.0):
             self.control.rotateGripperWrist(np.pi)
-        elif self.quarterflat and sc >= int(seq / 4.0):
-            self.control.rotateGripperWrist(
-                np.pi / 2.0 * (sc // int(seq / 4.0)))
+        elif self.quarterflat and sc >= quarter:
+            self.control.rotateGripperWrist(np.pi / 2.0 * (sc // quarter))
         elif not self.flat and not self.quarterflat and not self.rotateonce:
             per = (2 * np.pi if not self.handle
                    else 2 * np.pi - np.pi / 2.0) / seq
@@ -258,7 +258,7 @@ class CollectData:
             return
         if (self.flat or self.rotateonce) and i == int(seq / 2.0) - 1:
             self.control.rotateGripperWrist(np.pi)
-        elif self.quarterflat and (i + 1) % int(seq / 4.0) == 0:
+        elif self.quarterflat and (i + 1) % max(1, int(seq / 4.0)) == 0:
             self.control.rotateGripperWrist(np.pi / 2.0)
         elif not self.flat and not self.quarterflat and not self.rotateonce:
             self.control.rotateGripperWrist(

@@ -25,7 +25,11 @@ def sim_path(name):
     """
     env_bin = os.environ.get("MRGAN_NATIVE_BIN")
     if env_bin:
-        return os.path.join(env_bin, name)
+        path = os.path.join(env_bin, name)
+        if os.path.exists(path):
+            return path
+        # fall through: a stale/typoed override should still get the
+        # checkout build (or the actionable error), not a bare Popen failure
     path = os.path.join(NATIVE_BIN, name)
     if os.path.exists(path):
         return path

@@ -252,8 +252,12 @@ def main(argv=None):
                         for kernel in grids[2]:
                             print("Parameters:", *prefix, pca, ns, kernel)
                             accuracies = []
+                            # fixed seed (the reference enforces 54321 for
+                            # exactly this, wganlpctsemi.py:6-17): grid
+                            # points compare on identical fold assignments
                             skf = StratifiedKFold(n_splits=args.n_splits,
-                                                  shuffle=True)
+                                                  shuffle=True,
+                                                  random_state=54321)
                             for tr, te in skf.split(x, y):
                                 acc = run_fold(algorithm, x[tr], y[tr],
                                                x[te], y[te], fraction, pca,

@@ -69,53 +69,62 @@ def _batched_window_centered(times, values, impacts, half, num_out):
     return np.asarray(out), np.asarray(grid)
 
 
-def process_sequences(raw, duration, contact_len):
+def process_sequences(raw, duration, contact_len, streams=None):
     """Process one raw batch dict (the per-file schema of
     collectdataPoke.py's saves) into the processed per-object schema.
 
     Returns dict with forceTime/force0/force1/pressureTime/pressure0/
     pressure1/temperatureTime/temperature/contactTime/contact lists.
+    ``streams`` limits the work to a subset of {"force", "pressure",
+    "temperature", "contact"} (None = all) — online serving only windows
+    what its modality reads; the 48 kHz contact resample dominates.
     """
+    if streams is None:
+        streams = {"force", "pressure", "temperature", "contact"}
     n_ft = int(100 * duration)
     n_c = int(48000 * contact_len)
     impacts = [float(t) for t in raw["collisionTime"]]
 
-    force_t = [np.asarray(t, np.float64) for t in raw["RGripRFingerTime"]]
-    force = [np.asarray(f, np.float32) for f in raw["RGripRFingerForce"]]
-    pressure = [np.asarray(p, np.float32) for p in raw["RGripRFingerPressure"]]
-    temp_t = [np.asarray(t, np.float64) for t in raw["temperatureTime"]]
-    temp = [np.asarray(x, np.float32) for x in raw["temperatureRaw"]]
-    con_t = [np.asarray(t, np.float64) for t in raw["contactmicTime"]]
-    con = [np.asarray(c, np.float32) for c in raw["contactmic"]]
-
     out = {}
-    f0, f_grid = _batched_window(
-        force_t, [f[:, TAXEL_1] for f in force], impacts, 0.1, duration, n_ft
-    )
-    f1, _ = _batched_window(
-        force_t, [f[:, TAXEL_2] for f in force], impacts, 0.1, duration, n_ft
-    )
-    p0, _ = _batched_window(
-        force_t, [p[:, TAXEL_1] for p in pressure], impacts, 0.1, duration, n_ft
-    )
-    p1, _ = _batched_window(
-        force_t, [p[:, TAXEL_2] for p in pressure], impacts, 0.1, duration, n_ft
-    )
-    tc, t_grid = _batched_window(
-        temp_t, [x[:, 1] for x in temp], impacts, 0.1, duration, n_ft
-    )
-    cm, c_grid = _batched_window_centered(con_t, con, impacts,
-                                          contact_len / 2.0, n_c)
-    out["forceTime"] = list(f_grid)
-    out["force0"] = list(f0)
-    out["force1"] = list(f1)
-    out["pressureTime"] = list(f_grid)
-    out["pressure0"] = list(p0)
-    out["pressure1"] = list(p1)
-    out["temperatureTime"] = list(t_grid)
-    out["temperature"] = list(tc)
-    out["contactTime"] = list(c_grid)
-    out["contact"] = list(cm)
+    if streams & {"force", "pressure"}:
+        force_t = [np.asarray(t, np.float64) for t in raw["RGripRFingerTime"]]
+    if "force" in streams:
+        force = [np.asarray(f, np.float32) for f in raw["RGripRFingerForce"]]
+        f0, f_grid = _batched_window(
+            force_t, [f[:, TAXEL_1] for f in force], impacts, 0.1, duration,
+            n_ft)
+        f1, _ = _batched_window(
+            force_t, [f[:, TAXEL_2] for f in force], impacts, 0.1, duration,
+            n_ft)
+        out["forceTime"] = list(f_grid)
+        out["force0"] = list(f0)
+        out["force1"] = list(f1)
+    if "pressure" in streams:
+        pressure = [np.asarray(p, np.float32)
+                    for p in raw["RGripRFingerPressure"]]
+        p0, p_grid = _batched_window(
+            force_t, [p[:, TAXEL_1] for p in pressure], impacts, 0.1,
+            duration, n_ft)
+        p1, _ = _batched_window(
+            force_t, [p[:, TAXEL_2] for p in pressure], impacts, 0.1,
+            duration, n_ft)
+        out["pressureTime"] = list(p_grid)
+        out["pressure0"] = list(p0)
+        out["pressure1"] = list(p1)
+    if "temperature" in streams:
+        temp_t = [np.asarray(t, np.float64) for t in raw["temperatureTime"]]
+        temp = [np.asarray(x, np.float32) for x in raw["temperatureRaw"]]
+        tc, t_grid = _batched_window(
+            temp_t, [x[:, 1] for x in temp], impacts, 0.1, duration, n_ft)
+        out["temperatureTime"] = list(t_grid)
+        out["temperature"] = list(tc)
+    if "contact" in streams:
+        con_t = [np.asarray(t, np.float64) for t in raw["contactmicTime"]]
+        con = [np.asarray(c, np.float32) for c in raw["contactmic"]]
+        cm, c_grid = _batched_window_centered(con_t, con, impacts,
+                                              contact_len / 2.0, n_c)
+        out["contactTime"] = list(c_grid)
+        out["contact"] = list(cm)
     return out
 
 

@@ -79,6 +79,20 @@ def _iter_rows(data, materials, exposure, sample_count):
         yield materials.index(material), obj, d[3:]
 
 
+def _disambiguate_names(objects, materials):
+    """Map {(material_index, obj): entry} to {display_name: entry}: plain
+    object names normally, material-qualified only when the same name
+    appears under more than one material (keys feed LOO protocols, where
+    each key must be one physical object)."""
+    name_counts = {}
+    for _, obj in objects:
+        name_counts[obj] = name_counts.get(obj, 0) + 1
+    return {
+        (obj if name_counts[obj] == 1 else f"{materials[index]}/{obj}"): e
+        for (index, obj), e in objects.items()
+    }
+
+
 def process_lumini_dataset(data, material_names, object_names,
                            sample_count=20, exposure=100,
                            corrected_values=True):
@@ -183,8 +197,11 @@ def lumini_objects(data, materials=MATERIALS, sample_count=20, exposure=100,
                                          sample_count):
         values = _half_slice(values, corrected_values,
                              reference_quirk=False)
-        entry = objects.setdefault(obj, {"x": [], "y": index})
+        # key on (material, object): same-named object dirs under two
+        # materials are distinct objects, not one mislabeled merge
+        entry = objects.setdefault((index, obj), {"x": [], "y": index})
         entry["x"].append(values)
+    objects = _disambiguate_names(objects, materials)
     return {
         name: {"x": np.asarray(e["x"], np.float32),
                "y": np.full(len(e["x"]), e["y"], np.int32)}
@@ -263,14 +280,17 @@ def scio_objects(data, materials=MATERIALS, sample_count=100,
         material, obj, values = d[0], d[1], d[2:]
         if material not in materials:
             continue
-        if counts.get(obj, 0) >= sample_count:
+        index = materials.index(material)
+        # cap and group per (material, object) — same-named object dirs
+        # under two materials are distinct objects (cf. lumini_objects)
+        if counts.get((index, obj), 0) >= sample_count:
             continue
-        counts[obj] = counts.get(obj, 0) + 1
+        counts[(index, obj)] = counts.get((index, obj), 0) + 1
         vals = (values if spectrum_raw == "spectrum_raw"
                 else values[: len(values) // 2])
-        entry = objects.setdefault(
-            obj, {"x": [], "y": materials.index(material)})
+        entry = objects.setdefault((index, obj), {"x": [], "y": index})
         entry["x"].append(vals)
+    objects = _disambiguate_names(objects, materials)
     return {
         name: {"x": np.asarray(e["x"], np.float32),
                "y": np.full(len(e["x"]), e["y"], np.int32)}

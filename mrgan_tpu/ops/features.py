@@ -21,6 +21,18 @@ from . import mel as mel_ops
 
 NEEDS_AUDIO = frozenset((3, 4, 5, 6))
 
+# which raw sensor streams each modality's features are built from
+# (serving uses this to window/resample only what it will read)
+MODALITY_STREAMS = {
+    0: ("force",),
+    1: ("temperature",),
+    2: ("temperature", "force"),
+    3: ("contact",),
+    4: ("temperature", "contact"),
+    5: ("temperature", "force", "contact"),
+    6: ("force", "contact"),
+}
+
 
 def feature_dim(modality, forcetemp_len, audio_len, n_mels=128, hop_length=512):
     """Static flat feature size for a modality (forcetemp_len = samples per

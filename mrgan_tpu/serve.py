@@ -88,20 +88,31 @@ class MaterialClassifier:
         durations (processdata.py:56-83 semantics) -> on-device frontend ->
         material name."""
         from .data import preprocess
+        from .ops import features as feat_ops
 
-        one = {
-            key: [raw[key][index]]
-            for key in ("collisionTime", "RGripRFingerTime",
-                        "RGripRFingerForce", "RGripRFingerPressure",
-                        "temperatureTime", "temperatureRaw",
-                        "contactmicTime", "contactmic")
-        }
-        w = preprocess.process_sequences(one, self.ft_time, self.c_time)
+        # window only the streams this modality's frontend reads — the
+        # 48 kHz contact resample dominates and e.g. a force+temp
+        # classifier never needs it
+        streams = {"force", "temperature", "contact"} if self.modality is \
+            None else set(feat_ops.MODALITY_STREAMS[self.modality])
+        keys = ["collisionTime"]
+        if "force" in streams:
+            keys += ["RGripRFingerTime", "RGripRFingerForce"]
+        if "temperature" in streams:
+            keys += ["temperatureTime", "temperatureRaw"]
+        if "contact" in streams:
+            keys += ["contactmicTime", "contactmic"]
+        one = {key: [raw[key][index]] for key in keys}
+        w = preprocess.process_sequences(one, self.ft_time, self.c_time,
+                                         streams=streams)
+
+        def arr(name):
+            return (np.asarray(w[name], np.float32)
+                    if name in w else None)
+
         return self.classify_pokes(
-            temperature=np.asarray(w["temperature"], np.float32),
-            force0=np.asarray(w["force0"], np.float32),
-            force1=np.asarray(w["force1"], np.float32),
-            contact=np.asarray(w["contact"], np.float32))[0]
+            temperature=arr("temperature"), force0=arr("force0"),
+            force1=arr("force1"), contact=arr("contact"))[0]
 
     # -- persistence ----------------------------------------------------------
 

@@ -352,7 +352,6 @@ def run_gan_loo(objects, percentlabeled, cfg: gan.GanConfig = gan.GanConfig(),
     offs = np.cumsum([0] + sizes)
     ds = DeviceDataset(x_all, y_all, cfg.pad_multiple, mesh=mesh,
                        pad_min=cfg.pad_min)
-    all_rows = np.arange(len(y_all))
 
     if chunk is None:
         chunk = loo_chunk(len(names), mesh)

@@ -237,6 +237,16 @@ def test_platter_rotation_schedule_and_catchup():
         c._rotate_after(i)
     np.testing.assert_allclose(c.control.angle, 4 * (np.pi / 2))
 
+    # quarterflat with seq < 4: int(seq/4) would be 0 — must not divide by
+    # zero; the quarter clamps to every poke
+    c = make(seq=3, quarterflat=True)
+    for i in range(3):
+        c._rotate_after(i)
+    np.testing.assert_allclose(c.control.angle, 3 * (np.pi / 2))
+    cu = make(seq=3, sc=2, quarterflat=True)
+    cu._rotation_catchup()
+    np.testing.assert_allclose(cu.control.angle, 2 * (np.pi / 2))
+
     # neverrotate: nothing moves
     c = make(seq=8, neverrotate=True, sc=5)
     c._rotation_catchup()

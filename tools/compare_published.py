@@ -82,7 +82,7 @@ def main():
             "Table 5 (GAN, window duration)")
 
     t24 = os.path.join(args.artifacts, "t24_nn.jsonl")
-    if os.path.exists(t24):
+    if os.path.exists(t24) and os.path.exists(t1):
         # published table 2 (MLP baseline) exists only for the force+temp
         # and F+T+mic rows quoted in BASELINE.md; compare the headline
         # GAN-vs-MLP gap instead: GAN@1% minus MLP@1% per modality

@@ -78,6 +78,10 @@ def main():
     ap.add_argument("--out", default="/tmp/scaling.jsonl")
     args = ap.parse_args()
 
+    # fresh file per run: the queue relaunches this tool after outages, and
+    # summarize_regen renders every record — stale/duplicate rows would be
+    # reported as current
+    open(args.out, "w").close()
     results = []
     for w in args.widths:
         try:
