@@ -413,9 +413,13 @@ def svm_main(argv=None):
     parser = build_parser("RBF-SVM baseline for material recognition.")
     parser.add_argument("--deriv", action="store_true",
                         help="First-derivative features (mr_svm.py:41-44)")
+    parser.add_argument("--svm-solver", choices=["libsvm", "native"],
+                        default="libsvm",
+                        help="Dual solver: libsvm (reference semantics) or "
+                        "the in-tree C++ SMO (native/svm_smo.cpp)")
     args = parser.parse_args(argv)
     ctx = Ctx(args, "svm")
-    cfg = svm.SvmConfig()
+    cfg = svm.SvmConfig(solver=args.svm_solver)
 
     orig_dataset = ctx.dataset
 

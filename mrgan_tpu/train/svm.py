@@ -3,9 +3,11 @@
 The O(n^2 d) RBF Gram matrices — the expensive part — are computed on device
 as a single matmul-based kernel (||a-b||^2 = |a|^2 + |b|^2 - 2 a.b^T, MXU
 path), vmapped over folds. The convex dual solve itself is tiny
-(n_sv <= 6000) and runs in libsvm via SVC(kernel='precomputed'), preserving
-the reference's exact solver semantics (C=1.0, gamma='auto' = 1/n_features,
-one-vs-one multiclass voting).
+(n_sv <= 6000); by default it runs in libsvm via SVC(kernel='precomputed'),
+preserving the reference's exact solver semantics (C=1.0, gamma='auto' =
+1/n_features, one-vs-one multiclass voting). SvmConfig(solver='native')
+swaps in this framework's own C++ SMO solver (native/svm_smo.cpp via
+train.native_svm), removing the libsvm dependency from the solve.
 """
 
 import dataclasses
@@ -21,6 +23,21 @@ class SvmConfig:
     C: float = 1.0           # mr_svm.py:106
     gamma: float | None = None  # None -> 'auto' = 1/n_features (2017 sklearn default)
     num_classes: int = 6
+    # 'libsvm' preserves the reference's exact solver (sklearn SVC with a
+    # precomputed kernel); 'native' uses this framework's own SMO solver
+    # (native/svm_smo.cpp via train.native_svm) with no sklearn dependency
+    # in the solve
+    solver: str = "libsvm"
+
+
+def _make_svc(cfg):
+    if cfg.solver == "native":
+        from . import native_svm
+
+        return native_svm.OvoSVC(C=cfg.C)
+    from sklearn.svm import SVC
+
+    return SVC(kernel="precomputed", C=cfg.C)
 
 
 @partial(jax.jit, static_argnames=())
@@ -36,13 +53,11 @@ rbf_kernel_folds = jax.jit(jax.vmap(rbf_kernel, in_axes=(0, 0, None)))
 
 
 def fit_predict_error(x_lab, y_lab, x_test, y_test, cfg: SvmConfig = SvmConfig()):
-    """One fold: device Gram matrices + libsvm precomputed-kernel solve."""
-    from sklearn.svm import SVC
-
+    """One fold: device Gram matrices + precomputed-kernel dual solve."""
     gamma = cfg.gamma if cfg.gamma is not None else 1.0 / x_lab.shape[-1]
     k_train = np.asarray(rbf_kernel(x_lab, x_lab, gamma))
     k_test = np.asarray(rbf_kernel(x_test, x_lab, gamma))
-    svm = SVC(kernel="precomputed", C=cfg.C)
+    svm = _make_svc(cfg)
     svm.fit(k_train, y_lab)
     return 1.0 - svm.score(k_test, y_test)
 
@@ -69,8 +84,6 @@ def run_svm_loo(objects, percentlabeled, cfg: SvmConfig = SvmConfig(), seed=0):
 def run_svm_cell(x, y, percentlabeled, cfg: SvmConfig = SvmConfig(), seed=0,
                  n_splits=6, splits=None):
     """mr_svm.py table cell; device Gram matrices batched across folds."""
-    from sklearn.svm import SVC
-
     from . import protocol
 
     rng = np.random.RandomState(seed)
@@ -91,7 +104,7 @@ def run_svm_cell(x, y, percentlabeled, cfg: SvmConfig = SvmConfig(), seed=0,
     )
     errors = []
     for f in range(len(folds)):
-        svm = SVC(kernel="precomputed", C=cfg.C)
+        svm = _make_svc(cfg)
         svm.fit(k_train[f], stacked["y_labeled"][f])
         errors.append(1.0 - svm.score(k_test[f], stacked["y_test"][f]))
     return np.asarray(errors)
