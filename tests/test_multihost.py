@@ -79,7 +79,10 @@ def test_two_process_dcn_smoke():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            # generous: two child processes each pay jax import + a
+            # sharded-GAN compile, and CI hosts here have one core that
+            # may be shared with concurrent jobs
+            out, _ = p.communicate(timeout=1200)
             outs.append(out)
     finally:
         for p in procs:
