@@ -69,25 +69,39 @@ def loss_unlabeled_wgan(logits_unl, logits_fake):
     )
 
 
-def lipschitz_penalty(disc_fn, x_real, x_fake, eps):
-    """WGAN-LP one-sided gradient penalty (wganlpctsemi.py:356-360, Petzka et
-    al.): mixed = eps*x_real + (1-eps)*x_fake; penalize the positive part of
-    (normalized gradient - 1)^2.
+def lipschitz_penalty(disc_fn, x_real, x_fake, eps, petzka=False):
+    """WGAN-LP one-sided gradient penalty (wganlpctsemi.py:356-360).
 
-    The reference (unusually) L2-normalizes the gradient per row before the
-    hinge; we reproduce that exactly.
+    The reference L2-NORMALIZES the gradient per row and then hinges its
+    COMPONENTS at 1 — but every component of a unit vector is <= 1, so the
+    reference's penalty is identically zero with zero gradient: the
+    Lipschitz constraint in its iwgan runs was inert (its commented-out
+    ``K.square(gradientMixedNorm - 1.0)`` line would have been active).
+    ``petzka=False`` pins that semantic exactly — returning the constant 0
+    the formula provably evaluates to, without paying the extra
+    forward/backward. ``petzka=True`` implements the penalty as published
+    (Petzka et al.: hinge the gradient NORM), for runs that want a working
+    Lipschitz constraint.
     """
     mixed = eps * x_real + (1.0 - eps) * x_fake
+    if not petzka:
+        # reference semantics: max(0, unit_vector_component - 1) == 0 always
+        return jnp.zeros((), mixed.dtype)
     grad = jax.grad(lambda m: jnp.mean(disc_fn(m)))(mixed)
-    norm = grad / jnp.sqrt(
-        jnp.maximum(jnp.sum(jnp.square(grad), axis=1, keepdims=True), 1e-12)
-    )
+    norm = jnp.sqrt(
+        jnp.maximum(jnp.sum(jnp.square(grad), axis=1), 1e-24))
     return jnp.mean(jnp.square(jnp.maximum(0.0, norm - 1.0)))
 
 
-def consistency_term(logits1, logits2, mid1, mid2, key, stddev=1e-4):
+def consistency_term(logits1, logits2, mid1, mid2, key, stddev=1e-4,
+                     margin=0.0):
     """CT-GAN consistency term (wganlpctsemi.py:361-368): distance between two
-    noisy discriminator passes on the same unlabeled batch."""
+    noisy discriminator passes on the same unlabeled batch.
+
+    The reference hinges at zero — i.e. it dropped CT-GAN's margin M', so
+    its max(0, ct) never clips (ct is a sum of L2 distances, >= 0 by
+    construction) and ALL discriminator stochasticity is penalized. margin=0
+    pins that; pass margin=M' for the published CT-GAN form."""
     k1, k2 = jax.random.split(key)
     d2 = logits2 + stddev * jax.random.normal(k1, logits2.shape, logits2.dtype)
     m2 = mid2 + stddev * jax.random.normal(k2, mid2.shape, mid2.dtype)
@@ -98,4 +112,4 @@ def consistency_term(logits1, logits2, mid1, mid2, key, stddev=1e-4):
     ct = l2d(jax.nn.softmax(logits1, axis=-1), jax.nn.softmax(d2, axis=-1)) + 0.1 * l2d(
         mid1, m2
     )
-    return jnp.mean(jnp.maximum(0.0, ct))
+    return jnp.mean(jnp.maximum(0.0, ct - margin))

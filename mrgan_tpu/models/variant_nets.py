@@ -176,10 +176,12 @@ def bilstm_init(key, in_dim, units):
 
 
 def bilstm_apply(params, xs, return_sequences=True):
+    # lax.scan(reverse=True) already returns TIME-ALIGNED per-step outputs
+    # (hb[:, t] = backward state having consumed T-1..t), which is exactly
+    # what Keras Bidirectional produces after it un-reverses the
+    # go_backwards output — so no flip here.
     hf = lstm_apply(params["fwd"], xs, False, return_sequences)
     hb = lstm_apply(params["bwd"], xs, True, return_sequences)
-    if return_sequences:
-        hb = jnp.flip(hb, axis=1)
     return jnp.concatenate([hf, hb], axis=-1)
 
 

@@ -50,11 +50,14 @@ def feature_dim(modality, forcetemp_len, audio_len, n_mels=128, hop_length=512):
 
 
 def assemble(modality, temperature=None, force0=None, force1=None, contact=None,
-             logmel=None):
+             logmel=None, sr=48000, n_fft=2048, hop_length=512, n_mels=128):
     """Concatenate modality features. ``contact`` is raw audio (B, N); pass
-    ``logmel`` instead to reuse a precomputed mel block."""
+    ``logmel`` instead to reuse a precomputed mel block. The mel kwargs
+    mirror :func:`feature_dim` so non-default frontends stay consistent
+    between the size computation and the features actually built."""
     if modality in NEEDS_AUDIO and logmel is None:
-        logmel = mel_ops.logmel(contact)
+        logmel = mel_ops.logmel(contact, sr=sr, n_fft=n_fft,
+                                hop_length=hop_length, n_mels=n_mels)
     parts = {
         0: (force0, force1),
         1: (temperature,),

@@ -18,7 +18,7 @@ All precomputed operator matrices are built once per (sr, n_fft, n_mels)
 configuration in float64 numpy and cached.
 """
 
-from functools import partial
+from functools import lru_cache, partial
 
 import numpy as np
 import jax
@@ -178,31 +178,15 @@ def logmel(
     return out
 
 
-def logmel_sharded(audio, mesh, axis="data", sr=48000, n_fft=2048,
-                   hop_length=512, n_mels=128,
-                   precision=jax.lax.Precision.HIGHEST):
-    """Frame-block sequence parallelism for the mel frontend (SURVEY.md
-    §2.3's honest CP analog): STFT frames are independent given the center
-    padding, so each device computes a contiguous block of frames of EVERY
-    example — arbitrarily long contact windows stream through per-chip
-    VMEM/HBM — and only the per-example ref-max/peak reductions cross shards
-    (two pmax collectives on (B,) vectors).
-
-    audio: (B, N); the frame count T = 1 + N//hop must be divisible by the
-    mesh axis size (pad N if needed). Returns (B, n_mels, T).
-    """
+@lru_cache(maxsize=64)
+def _logmel_sharded_fn(mesh, axis, sr, n_fft, hop_length, n_mels, tb,
+                       precision):
+    """Build (once per mesh/frontend/frame-block combo) the jitted
+    shard_mapped mel program. The jit wrapper MUST be cached: a fresh
+    wrapper per call would retrace and recompile every invocation."""
     from jax.sharding import PartitionSpec as P
 
     cw, sw, melw = _dft_mel_bases(sr, n_fft, n_mels, jnp.float32)
-    n_sh = mesh.shape[axis]
-    t = num_frames(audio.shape[-1], hop_length)
-    assert t % n_sh == 0, (
-        f"frame count {t} not divisible by mesh axis {axis}={n_sh}; pad the "
-        f"audio length")
-    tb = t // n_sh
-    pad = n_fft // 2
-    padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)),
-                     mode="reflect")
 
     def local(a):
         i = jax.lax.axis_index(axis)
@@ -225,4 +209,30 @@ def logmel_sharded(audio, mesh, axis="data", sr=48000, n_fft=2048,
 
     fn = jax.shard_map(local, mesh=mesh, in_specs=P(),
                        out_specs=P(None, None, axis))
-    return jax.jit(fn)(padded)
+    return jax.jit(fn)
+
+
+def logmel_sharded(audio, mesh, axis="data", sr=48000, n_fft=2048,
+                   hop_length=512, n_mels=128,
+                   precision=jax.lax.Precision.HIGHEST):
+    """Frame-block sequence parallelism for the mel frontend (SURVEY.md
+    §2.3's honest CP analog): STFT frames are independent given the center
+    padding, so each device computes a contiguous block of frames of EVERY
+    example — arbitrarily long contact windows stream through per-chip
+    VMEM/HBM — and only the per-example ref-max/peak reductions cross shards
+    (two pmax collectives on (B,) vectors).
+
+    audio: (B, N); the frame count T = 1 + N//hop must be divisible by the
+    mesh axis size (pad N if needed). Returns (B, n_mels, T).
+    """
+    n_sh = mesh.shape[axis]
+    t = num_frames(audio.shape[-1], hop_length)
+    assert t % n_sh == 0, (
+        f"frame count {t} not divisible by mesh axis {axis}={n_sh}; pad the "
+        f"audio length")
+    pad = n_fft // 2
+    padded = jnp.pad(audio.astype(jnp.float32), ((0, 0), (pad, pad)),
+                     mode="reflect")
+    fn = _logmel_sharded_fn(mesh, axis, sr, n_fft, hop_length, n_mels,
+                            t // n_sh, precision)
+    return fn(padded)

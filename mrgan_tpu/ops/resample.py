@@ -81,10 +81,15 @@ def window_resample(t, v, valid, impact_time, pre, post, num_out):
     grid = t_start[:, None] + frac[None, :] * span
 
     # Interpolate in window-relative time (t - t_start): conditions the f32
-    # lerp far better for high-rate streams where dt << t. Padded tail times
-    # are clamped to t[-1] so they never bracket a query (grid <= t_end).
+    # lerp far better for high-rate streams where dt << t. Padded tail
+    # times AND values are clamped to the last real sample: the times so
+    # padding never brackets a query (grid <= t_end), the values because
+    # jnp.interp's dx==0 branch otherwise returns the zero pad value when
+    # the final grid point coincides with duplicated pad times (window
+    # reaching the stream end on a row padded by >=2 entries).
     t_safe = jnp.where(valid, t, t_last[:, None]) - t_start[:, None]
-    out = jax.vmap(jnp.interp)(frac[None, :] * span, t_safe, v)
+    v_safe = jnp.where(valid, v, v[row, last][:, None])
+    out = jax.vmap(jnp.interp)(frac[None, :] * span, t_safe, v_safe)
     return out, grid
 
 
@@ -96,7 +101,8 @@ def window_resample_centered(t, v, valid, impact_time, half, num_out):
     b, n = t.shape
     row = jnp.arange(b)
     n_valid = jnp.sum(valid, axis=-1)
-    t_last = t[row, jnp.maximum(n_valid - 1, 0)]
+    last = jnp.maximum(n_valid - 1, 0)
+    t_last = t[row, last]
 
     pre_idx = _first_index_greater(t, (impact_time - half)[:, None], valid)
     post_idx = _first_index_greater(t, (impact_time + half)[:, None], valid)
@@ -107,8 +113,12 @@ def window_resample_centered(t, v, valid, impact_time, half, num_out):
     span = (t_end - t_start)[:, None]
     grid = t_start[:, None] + frac[None, :] * span
 
+    # Pad times AND values clamp to the last real sample (see
+    # window_resample: the zero pad value would leak through interp's
+    # dx==0 branch at the window's final grid point otherwise).
     t_safe = jnp.where(valid, t, t_last[:, None]) - t_start[:, None]
-    out = jax.vmap(jnp.interp)(frac[None, :] * span, t_safe, v)
+    v_safe = jnp.where(valid, v, v[row, last][:, None])
+    out = jax.vmap(jnp.interp)(frac[None, :] * span, t_safe, v_safe)
     return out, grid
 
 

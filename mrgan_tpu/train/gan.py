@@ -28,6 +28,7 @@ import jax
 import jax.numpy as jnp
 
 from ..models import losses, nets
+from ..ops import scaler
 from . import optim, schedule
 
 
@@ -281,19 +282,11 @@ def scale_stats(x_train):
     """StandardScaler fit as pure ops: population mean/std, constant columns
     pass through (sklearn semantics, mr_gan.py:96-98).
 
-    NEAR-constant columns (std below ~10 eps relative to the column's
-    magnitude — e.g. mel bins pinned at the top_db floor) also pass through,
-    like modern sklearn's _handle_zeros_in_scale: dividing by an f32
-    cancellation-noise std amplifies junk by ~1e6 and was observed to
-    diverge a high-label MLP fold (exact-chance collapse) on wide synthetic
-    audio features. Genuine feature columns are orders of magnitude above
-    the threshold, so real scaling is untouched."""
-    mean = jnp.mean(x_train, axis=0)
-    var = jnp.mean(jnp.square(x_train - mean), axis=0)
-    std = jnp.sqrt(var)
-    tiny = std <= 1.2e-6 * jnp.maximum(1.0, jnp.abs(mean))
-    inv = jnp.where(tiny, 1.0, 1.0 / jnp.maximum(std, 1e-30))
-    return mean, inv
+    NEAR-constant columns pass through too; the guard and its rationale
+    live in ops.scaler (the single canonical implementation). Returns
+    (mean, 1/scale) — the trainer multiplies rather than divides."""
+    mean, scale = scaler.fit(x_train)
+    return mean, 1.0 / scale
 
 
 def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,

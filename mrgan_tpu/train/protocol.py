@@ -17,6 +17,7 @@ import numpy as np
 from sklearn.model_selection import StratifiedKFold
 
 from . import gan
+from ..ops import scaler as ops_scaler
 
 
 class DeviceDataset:
@@ -88,13 +89,10 @@ def select_labeled(x_train, y_train, num_per_class, num_classes, rng):
 
 
 def scale_fold(x_train, x_test):
-    """StandardScaler semantics (population std, constant columns pass
-    through). Near-constant columns (std within f32 cancellation noise of
-    the column magnitude) pass through too — see gan.scale_stats for the
-    rationale (observed MLP fold divergence on junk-amplified columns)."""
-    mean = x_train.mean(axis=0)
-    std = x_train.std(axis=0)
-    std[std <= 1.2e-6 * np.maximum(1.0, np.abs(mean))] = 1.0
+    """StandardScaler semantics (population std; constant and NEAR-constant
+    columns pass through — guard and rationale in ops.scaler, the single
+    canonical implementation)."""
+    mean, std = ops_scaler.fit_numpy(x_train)
     return (x_train - mean) / std, (x_test - mean) / std
 
 

@@ -40,6 +40,10 @@ class WganConfig:
     beta2: float = 0.9
     lamb: float = 10.0          # Lipschitz penalty weight, wganlpctsemi.py:354
     lamb2: float = 2.0          # consistency-term weight, wganlpctsemi.py:355
+    petzka_lp: bool = False     # False = the reference's (provably inert)
+                                # normalize-then-hinge LP; True = the
+                                # published Petzka et al. norm-hinged penalty
+    ct_margin: float = 0.0      # CT-GAN margin M' (the reference uses 0)
     disc_iters: int = 1
     gen_iters: int = 1
     num_classes: int = 6
@@ -157,11 +161,13 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test, *, n_train,
             logits_unl, _ = disc_fwd(pd_, xu, k_d2)
             lu = losses.loss_unlabeled_wgan(logits_unl, logits_fake)
             gp = losses.lipschitz_penalty(
-                lambda m: disc_fwd(pd_, m, k_mix)[0], xu, x_fake, eps
+                lambda m: disc_fwd(pd_, m, k_mix)[0], xu, x_fake, eps,
+                petzka=cfg.petzka_lp,
             )
             l1, m1 = disc_fwd(pd_, xu, k_ct1)
             l2, m2 = disc_fwd(pd_, xu, k_ct2)
-            ct = losses.consistency_term(l1, l2, m1, m2, k_ctn)
+            ct = losses.consistency_term(l1, l2, m1, m2, k_ctn,
+                                         margin=cfg.ct_margin)
             return ll + lu + cfg.lamb * gp + cfg.lamb2 * ct, (ll, lu, terr)
 
         grads, aux = jax.grad(d_loss, has_aux=True)(pd)

@@ -40,6 +40,41 @@ def test_losses_hand_computed():
     )
 
 
+def test_lipschitz_penalty_semantics():
+    # petzka=False pins the reference's normalize-then-hinge form, which is
+    # identically zero (every component of a unit vector is <= 1).
+    x_real = jnp.ones((2, 4))
+    x_fake = jnp.zeros((2, 4))
+    eps = jnp.full((2, 1), 0.5)
+    disc = lambda m: 3.0 * jnp.sum(m, axis=1)
+    got = losses.lipschitz_penalty(disc, x_real, x_fake, eps)
+    np.testing.assert_allclose(np.asarray(got), 0.0)
+
+    # petzka=True: the published norm-hinged penalty. grad of
+    # mean(3*sum(m, axis=1)) over B=2 rows is 3/2 per element; per-row
+    # norm = 1.5*sqrt(4) = 3 -> penalty = (3-1)^2 = 4.
+    got_p = losses.lipschitz_penalty(disc, x_real, x_fake, eps, petzka=True)
+    np.testing.assert_allclose(np.asarray(got_p), 4.0, rtol=1e-6)
+
+
+def test_consistency_term_margin():
+    logits1 = jnp.array([[2.0, 0.0], [0.0, 2.0]])
+    logits2 = jnp.array([[0.0, 2.0], [2.0, 0.0]])
+    mid = jnp.zeros((2, 3))
+    key = jax.random.PRNGKey(0)
+    # stddev=0 makes the passes deterministic: per-row ct =
+    # ||softmax(l1)-softmax(l2)||_2 = sqrt(2)*|p-q| with p,q the two
+    # softmax probs; mids identical contribute 0.
+    p = 1.0 / (1.0 + np.exp(-2.0))
+    ct_row = np.sqrt(2.0) * abs(2 * p - 1.0)
+    got = losses.consistency_term(logits1, logits2, mid, mid, key, stddev=0.0)
+    np.testing.assert_allclose(np.asarray(got), ct_row, rtol=1e-5)
+    # the margin subtracts before the hinge (published CT-GAN M')
+    got_m = losses.consistency_term(logits1, logits2, mid, mid, key,
+                                    stddev=0.0, margin=ct_row + 1.0)
+    np.testing.assert_allclose(np.asarray(got_m), 0.0)
+
+
 def test_tiled_permutation_reference_semantics():
     key = jax.random.PRNGKey(0)
     out = np.asarray(schedule.tiled_permutation(key, 60, 200))

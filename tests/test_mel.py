@@ -174,3 +174,28 @@ def test_vendored_melfb_analytic_properties():
     unnorm = fb / (2.0 / (edges[2:] - edges[:-2]))[:, None]
     interior = (freqs > edges[1]) & (freqs < edges[-2])
     np.testing.assert_allclose(unnorm.sum(0)[interior], 1.0, rtol=1e-9)
+
+
+def test_logmel_sharded_program_is_cached():
+    # A fresh jit wrapper per call would retrace/recompile every invocation.
+    from mrgan_tpu.ops import mel as mel_ops
+    mel_ops._logmel_sharded_fn.cache_clear()
+    import jax
+    from jax.sharding import Mesh
+    mesh = Mesh(np.array(jax.devices()[:1]), ("data",))
+    a = np.random.RandomState(0).randn(2, 4096).astype(np.float32)
+    out1 = mel_ops.logmel_sharded(a, mesh)
+    out2 = mel_ops.logmel_sharded(a * 2.0, mesh)
+    info = mel_ops._logmel_sharded_fn.cache_info()
+    assert info.misses == 1 and info.hits == 1
+    assert out1.shape == out2.shape
+
+
+def test_assemble_mel_kwargs_passthrough():
+    # assemble's mel kwargs must match feature_dim's size computation
+    from mrgan_tpu.ops import features
+    a = np.random.RandomState(1).randn(3, 4096).astype(np.float32)
+    for n_mels, hop in ((32, 256), (64, 1024)):
+        got = features.assemble(3, contact=a, n_mels=n_mels, hop_length=hop)
+        want = features.feature_dim(3, 0, 4096, n_mels=n_mels, hop_length=hop)
+        assert got.shape == (3, want)

@@ -56,6 +56,38 @@ def test_window_resample_stream_ends_before_post():
     np.testing.assert_allclose(np.asarray(got)[0], want, rtol=1e-3, atol=1e-4)
 
 
+def test_window_resample_padded_row_window_reaches_stream_end():
+    # Regression: a PADDED row (>=2 pad entries) whose window reaches the
+    # stream end used to return 0 for the final grid point — jnp.interp's
+    # dx==0 branch landed on the zero pad VALUE at the duplicated pad
+    # times. The true value is the last real sample (scipy endpoint).
+    t = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    v = np.array([3.0, 4.0, 5.0, 6.0, 7.0])
+    t_long = np.linspace(0.0, 7.0, 8)  # forces >=2 pad entries on row 0
+    v_long = np.zeros(8)
+    t_pad, v_pad, mask = resample.make_padded(
+        [v, v_long], [t, t_long], dtype=np.float64
+    )
+    impact = np.array([1.0, 1.0])
+    got, _ = resample.window_resample(t_pad, v_pad, mask, impact, 0.1, 10.0, 5)
+    want, _ = _reference_window(t, v, impact[0], 0.1, 10.0, 5)
+    np.testing.assert_allclose(np.asarray(got)[0], want, rtol=1e-6)
+    assert want[-1] == 7.0
+
+    # Centered variant on a padded row (in the reference's domain the
+    # centered window always ends strictly before the stream end, so the
+    # pad clamp is defensive there — but the padded row must still match
+    # the reference transcription exactly).
+    got_c, _ = resample.window_resample_centered(
+        t_pad, v_pad, mask, impact, 1.5, 5
+    )
+    pre_i = np.argmax(t > impact[0] - 1.5)
+    post_i = np.argmax(t > impact[0] + 1.5)
+    grid_c = np.linspace(t[pre_i + 1], t[post_i - 1], 5)
+    want_c = interp1d(t[pre_i:post_i], v[pre_i:post_i])(grid_c)
+    np.testing.assert_allclose(np.asarray(got_c)[0], want_c, rtol=1e-6)
+
+
 def test_window_resample_centered_matches_scipy():
     rng = np.random.RandomState(3)
     n = 20000

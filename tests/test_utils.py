@@ -57,3 +57,32 @@ def test_params_snapshot_roundtrip(tmp_path):
                                   np.asarray(params["gen"]["w"]))
     np.testing.assert_array_equal(np.asarray(restored["disc"][0]),
                                   np.ones(3))
+
+
+def test_scaler_guard_unified_across_paths():
+    """ops.scaler is the single canonical StandardScaler: the jnp fit, the
+    numpy twin, gan.scale_stats and protocol.scale_fold must all apply the
+    same near-constant pass-through guard."""
+    from mrgan_tpu.ops import scaler
+    from mrgan_tpu.train import gan, protocol
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 5).astype(np.float32) * np.array(
+        [1.0, 10.0, 100.0, 1.0, 1.0], np.float32)
+    x[:, 3] = 2.5                       # exactly constant
+    x[:, 4] = 80.0 + rng.randn(64).astype(np.float32) * 1e-6  # near-constant
+
+    mean_j, scale_j = (np.asarray(a) for a in scaler.fit(x))
+    mean_n, scale_n = scaler.fit_numpy(x.astype(np.float64))
+    np.testing.assert_allclose(mean_j, mean_n, rtol=1e-5)
+    np.testing.assert_allclose(scale_j, scale_n, rtol=1e-4)
+    assert scale_j[3] == 1.0 and scale_j[4] == 1.0  # guard fired
+    assert scale_j[0] != 1.0                        # real columns scaled
+
+    mean_g, inv_g = (np.asarray(a) for a in gan.scale_stats(x))
+    np.testing.assert_allclose(mean_g, mean_j)
+    np.testing.assert_allclose(inv_g, 1.0 / scale_j)
+
+    xt, _ = protocol.scale_fold(x.astype(np.float64), x.astype(np.float64))
+    np.testing.assert_allclose(
+        xt, (x.astype(np.float64) - mean_n) / scale_n)

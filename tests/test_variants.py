@@ -62,6 +62,23 @@ def test_bilstm_shapes_and_keras_semantics():
     np.testing.assert_allclose(np.asarray(h[:, 3:]), np.asarray(h_rev[:, :3]),
                                atol=1e-5)
 
+    # return_sequences=True time alignment (Keras Bidirectional): the
+    # backward half at step t is the bwd LSTM's state after consuming
+    # x[T-1..t] — i.e. the bwd LSTM run FORWARD on the flipped input,
+    # then un-flipped. Regression for an extra jnp.flip that misaligned
+    # the backward half.
+    hs = vnets.bilstm_apply(p, xs, return_sequences=True)
+    hb_want = jnp.flip(
+        vnets.lstm_apply(p["bwd"], jnp.flip(xs, 1), reverse=False,
+                         return_sequences=True), 1)
+    np.testing.assert_allclose(np.asarray(hs[..., 3:]), np.asarray(hb_want),
+                               atol=1e-5)
+    # and the final-step semantics agree with return_sequences=False
+    np.testing.assert_allclose(np.asarray(hs[:, -1, :3]), np.asarray(h[:, :3]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hs[:, 0, 3:]), np.asarray(h[:, 3:]),
+                               atol=1e-6)
+
 
 def test_bilstm_learns_tiny_sequences():
     rng = np.random.RandomState(0)
