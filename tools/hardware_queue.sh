@@ -12,6 +12,16 @@
 set -ux -o pipefail
 cd "$(dirname "$0")/.."
 
+# 0. Clear the host core. During a pool outage an interim CPU-evidence job
+# may be running (full-scale accuracy cells on the CPU backend; its pid is
+# recorded in /tmp/cpuacc*.pid — never kill by pattern). Hardware regen
+# strictly supersedes that evidence, and a busy host core corrupts the
+# timed stages below (bench + scaling curve) and starves TPU feeding.
+for f in /tmp/cpuacc.pid /tmp/cpuacc2.pid; do
+  if [ -f "$f" ]; then kill "$(cat "$f")" 2>/dev/null || true; fi
+done
+echo "QUEUE: host cleared"
+
 # 1. Regenerate every table artifact with the round-2 synthetic generator.
 timeout 21600 bash tools/regen_artifacts.sh
 echo "QUEUE: regen rc=$?"
