@@ -14,12 +14,17 @@ Exit 0 + "SHADOW_EXACTNESS_PASS" on success; nonzero with a diff report on
 regression.
 """
 
+import os
 import sys
+import threading
 
 import numpy as np
 
-import jax
-import jax.numpy as jnp
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import mrgan_tpu  # noqa: F401,E402  (honors MRGAN_PLATFORM backend pinning)
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
 
 
 def check(m, k, n, seed):
@@ -43,7 +48,21 @@ def check(m, k, n, seed):
 
 
 def main():
+    # Backend-init watchdog (same shape as bench.py): when the remote TPU
+    # pool is unreachable the first device touch blocks forever inside the
+    # PJRT client constructor, in C, where no Python signal can unwind it —
+    # fail loudly instead of wedging whatever harness invoked the check.
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(300):
+            print("check_shadow_exactness: backend init timed out "
+                  "(TPU pool unreachable?)", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     backend = jax.default_backend()
+    init_done.set()
     if backend not in ("tpu", "axon"):
         print(f"SKIP: backend is {backend!r}, not a TPU — the invariant is "
               "hardware-specific (CPU computes f32 dots exactly).")

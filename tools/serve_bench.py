@@ -11,10 +11,14 @@ Prints one JSON line per configuration.
 
 import argparse
 import json
+import os
 import sys
+import threading
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
 def pctl(samples, q):
@@ -41,6 +45,7 @@ def main():
                         default=[1, 8, 64, 256])
     args = parser.parse_args()
 
+    import mrgan_tpu  # noqa: F401  (honors MRGAN_PLATFORM backend pinning)
     import jax
 
     from mrgan_tpu import serve
@@ -48,8 +53,21 @@ def main():
     from mrgan_tpu.train import gan
     from mrgan_tpu.utils import compile_cache
 
+    # Backend-init watchdog (same shape as bench.py): an unreachable TPU
+    # pool blocks the first device touch forever inside the PJRT client
+    # constructor — fail loudly instead of wedging the caller.
+    init_done = threading.Event()
+
+    def _watchdog():
+        if not init_done.wait(300):
+            print("serve_bench: backend init timed out (TPU pool "
+                  "unreachable?)", file=sys.stderr, flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
     compile_cache.enable()
     platform = jax.devices()[0].platform
+    init_done.set()
 
     # Latency depends on shapes/program only, not trained values: build the
     # deployable artifact directly at the flagship width.
