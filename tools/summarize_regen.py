@@ -215,13 +215,16 @@ def main():
     ap.add_argument("--artifacts", default="artifacts")
     ap.add_argument("--write", action="store_true",
                     help="splice the block into STATUS.md between markers")
+    ap.add_argument("--status", default=None,
+                    help="STATUS file to splice into (default: repo STATUS.md)")
     args = ap.parse_args()
 
     block = build(args.artifacts)
     print(block)
 
     if args.write:
-        path = os.path.join(os.path.dirname(__file__), "..", "STATUS.md")
+        path = args.status or os.path.join(
+            os.path.dirname(__file__), "..", "STATUS.md")
         with open(path) as f:
             text = f.read()
         if MARKER not in text:
