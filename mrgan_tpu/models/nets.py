@@ -136,24 +136,38 @@ def discriminator_init(key, in_dim, num_classes, widths=DISC_WIDTHS, mid_width=2
 
 
 def discriminator_apply(params, x, key=None, train=False, in_mask=None,
-                        precision=None, widths=DISC_WIDTHS):
+                        precision=None, widths=DISC_WIDTHS,
+                        noise_rows=None, noise_index=None):
     """Returns (logits, mid_features).
 
     ``in_mask``: optional (D,) 0/1 mask restricting input GaussianNoise to
     real feature columns (keeps padded columns exactly zero, preserving
     equivalence with the unpadded reference model).
+    ``noise_rows``/``noise_index``: data-parallel exactness hook
+    (parallel.spmd.train_gan_cell_dp) — when a DP shard holds rows
+    ``noise_index`` of a global batch of ``noise_rows`` rows, every
+    GaussianNoise tensor is drawn for the FULL global batch and sliced to
+    the local rows, so the sharded step consumes bit-identical noise to the
+    single-device step (same key -> same global tensor -> same rows).
     """
     n_noise = len(widths) + 1
     if train:
         keys = jax.random.split(key, n_noise)
-        noise = 0.3 * jax.random.normal(keys[0], x.shape, x.dtype)
+
+        def draw(k, dim):
+            if noise_index is None:
+                return jax.random.normal(k, (x.shape[0], dim), x.dtype)
+            full = jax.random.normal(k, (noise_rows, dim), x.dtype)
+            return full[noise_index]
+
+        noise = 0.3 * draw(keys[0], x.shape[-1])
         if in_mask is not None:
             noise = noise * in_mask
         x = x + noise
     for i, w in enumerate(widths):
         x = jax.nn.relu(dense(params[f"d{i}"], x, precision))
         if train:
-            x = gaussian_noise(keys[i + 1], x, NOISE_STDDEVS[i + 1], True)
+            x = x + NOISE_STDDEVS[i + 1] * draw(keys[i + 1], w)
     mid = jax.nn.relu(dense(params["mid"], x, precision))
     logits = dense(params["out"], mid, precision)
     return logits, mid

@@ -148,6 +148,70 @@ def make_sweep_dp_step(cfg: gan.GanConfig, mesh, valid_dim=None):
     return jax.jit(step)
 
 
+@lru_cache(maxsize=16)
+def _dp_cell_trainer(shapes, valid_dim, cfg, mesh, n_pool_valid,
+                     with_metrics=False):
+    """jit(shard_map(vmap(_train_one_indexed)))) over the "data" axis: the
+    PRODUCTION fused epoch-scan trainer (scan over epochs/batches, vmapped
+    folds, shared-Adam semantics, bf16 shadow weights) run data-parallel.
+
+    Everything arrives replicated; inside the shard each fold's batch compute
+    is sharded bs/n_data rows per device with the three DP collectives
+    (gradient pmean, generator-BN stats, feature-matching moments — module
+    docstring). Stochastic tensors are drawn globally and sliced per shard
+    (nets.discriminator_apply noise_index), so the DP trajectory reproduces
+    the single-device trainer exactly up to f32 reduction order —
+    tests/test_parallel.py::test_dp_cell_epoch_matches_single_device.
+    """
+    from jax import shard_map as _shard_map
+
+    dp = mesh.shape["data"]
+
+    def run(keys, X, y, lab, pool, train, test):
+        def one(key, l, p, tr, te):
+            err, aux = gan._train_one_indexed(
+                key, X, y, l, p, tr, te, valid_dim=valid_dim, cfg=cfg,
+                n_pool_valid=n_pool_valid, dp_axis="data", dp_size=dp)
+            if with_metrics:
+                return err, {k: v for k, v in aux.items() if k != "params"}
+            return err
+
+        return jax.vmap(one)(keys, lab, pool, train, test)
+
+    specs = P()  # replicated in/out; params & results identical on all shards
+    fn = _shard_map(run, mesh=mesh,
+                    in_specs=(specs,) * 7,
+                    out_specs=(specs, specs) if with_metrics else specs,
+                    check_vma=False)
+    return jax.jit(fn)
+
+
+def train_gan_cell_dp(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
+                      valid_dim=None, cfg: gan.GanConfig = gan.GanConfig(),
+                      mesh=None, with_metrics=False):
+    """Train one sweep cell's folds with the batch dimension sharded over the
+    mesh's "data" axis — the production path for cells whose data axis needs
+    the mesh (SURVEY §7 hard-part 5: the 20 GB full Table-5 set). The sweep
+    ("cell") axis remains the first-choice parallelism; this is for meshes
+    laid out ("data",) or ("cell", "data") with data > 1.
+
+    Same contract as train.gan.train_folds_indexed.
+    """
+    import numpy as np_
+
+    if mesh is None:
+        raise ValueError("train_gan_cell_dp requires a mesh with a data axis")
+    if valid_dim is None:
+        valid_dim = X.shape[-1]
+    pool_idx, n_pool_valid = gan.pad_pool_indices(np_.asarray(pool_idx),
+                                                  np_.asarray(train_idx))
+    shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
+              test_idx.shape[-1], lab_idx.shape[0])
+    fn = _dp_cell_trainer(shapes, int(valid_dim), cfg, mesh, n_pool_valid,
+                          with_metrics)
+    return fn(keys, X, y, lab_idx, pool_idx, train_idx, test_idx)
+
+
 def init_cells(key, n_cells, feat_dim, cfg: gan.GanConfig):
     """Stacked per-cell params + Adam states (leading cell axis)."""
     keys = jax.random.split(key, n_cells)

@@ -76,30 +76,42 @@ def train_gan_work(keys, x_labeled, y_labeled, pool, x_test, y_test, n_train,
 
 
 @lru_cache(maxsize=64)
-def _sharded_indexed_gan_trainer(shapes, valid_dim, cfg, mesh, n_pool_valid):
+def _sharded_indexed_gan_trainer(shapes, valid_dim, cfg, mesh, n_pool_valid,
+                                 with_metrics=False):
     """Indexed variant: X/y replicated across the mesh (one upload), index
-    vectors sharded over the cell axis — per-cell traffic is a few KB."""
+    vectors sharded over the cell axis — per-cell traffic is a few KB.
+    ``with_metrics`` (requires cfg.track_epoch_metrics) also returns the
+    per-epoch metric arrays, sharded over the cell axis like the errors."""
     sh = mesh_lib.cell_sharding(mesh)
     rep = mesh_lib.replicated(mesh)
 
     def one(key, X, y, lab_idx, pool_idx, train_idx, test_idx):
-        err, _ = gan._train_one_indexed(
+        err, aux = gan._train_one_indexed(
             key, X, y, lab_idx, pool_idx, train_idx, test_idx,
             valid_dim=valid_dim, cfg=cfg, n_pool_valid=n_pool_valid,
         )
+        if with_metrics:
+            return err, {k: v for k, v in aux.items() if k != "params"}
         return err
 
+    out_sh = (sh, sh) if with_metrics else sh
     return jax.jit(
         jax.vmap(one, in_axes=(0, None, None, 0, 0, 0, 0)),
         in_shardings=(sh, rep, rep, sh, sh, sh, sh),
-        out_shardings=sh,
+        out_shardings=out_sh,
     )
 
 
 def train_gan_work_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
                            valid_dim=None,
-                           cfg: gan.GanConfig = gan.GanConfig(), mesh=None):
-    """W independent GAN work items against device-resident X, mesh-sharded."""
+                           cfg: gan.GanConfig = gan.GanConfig(), mesh=None,
+                           with_metrics=False):
+    """W independent GAN work items against device-resident X, mesh-sharded.
+
+    With ``with_metrics`` (requires cfg.track_epoch_metrics) returns
+    (errors (W,), {metric: (W, epochs)}) gathered to host — this is what
+    keeps ``-v`` sweeps sharded instead of falling back to a single device.
+    """
     if mesh is None:
         mesh = mesh_lib.make_mesh()
     if valid_dim is None:
@@ -113,9 +125,13 @@ def train_gan_work_indexed(keys, X, y, lab_idx, pool_idx, train_idx, test_idx,
     shapes = (lab_idx.shape[-1], pool_idx.shape[-1], train_idx.shape[-1],
               test_idx.shape[-1])
     fn = _sharded_indexed_gan_trainer(shapes, int(valid_dim), cfg, mesh,
-                                      n_pool_valid)
-    errs = fn(idx_args[0], X, y, *idx_args[1:])
-    return np.asarray(errs)[:w]
+                                      n_pool_valid, with_metrics)
+    out = fn(idx_args[0], X, y, *idx_args[1:])
+    if with_metrics:
+        errs, mets = out
+        return (np.asarray(errs)[:w],
+                {k: np.asarray(v)[:w] for k, v in mets.items()})
+    return np.asarray(out)[:w]
 
 
 @lru_cache(maxsize=64)

@@ -56,11 +56,14 @@ class GanConfig:
     # (mr_gan.py:165-167): its iteration counter advances by 2 per batch, so
     # bias correction sees t = 1,3,5,... (disc) / 2,4,6,... (gen). True pins
     # that semantic (a SURVEY §7 "small semantic trap").
-    flat_small_carry: bool = False
+    flat_small_carry: bool = True
     # Pack every sub-matrix scan-carry leaf (biases/BN/moments/counters)
     # into one flat buffer per dtype (optim.CarryPack): bitwise-identical
     # relayout targeting the profiled per-step copy-start stall around many
-    # small carry buffers. Off by default until the v5e A/B confirms a win.
+    # small carry buffers. Default ON since the v5e A/B confirmed the win
+    # (3033 vs 2936 updates/s, round 2); bitwise identity is pinned by
+    # tests/test_gan_train.py::test_flat_small_carry_bitwise_identical and
+    # on hardware by tools/check_flat_carry.py.
     matmul_weight_dtype: str = "bfloat16"
     # "bfloat16" streams the weight MATRICES through bf16 shadow copies for
     # every matmul pass (fwd + bwd, disc + gen), refreshed inside the Adam
@@ -129,12 +132,22 @@ _mm_shadow = optim.mm_shadow
 
 
 def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
-               *, n_train, valid_dim, cfg: GanConfig, n_pool_valid=None):
+               *, n_train, valid_dim, cfg: GanConfig, n_pool_valid=None,
+               dp_axis=None, dp_size=1):
     """Train a single GAN cell end-to-end; returns (test_error, metrics).
 
     ``n_pool_valid``: when the pool array is padded to a uniform row count
     (see _train_one_indexed), only its first n_pool_valid rows are real; the
     batch schedule samples exclusively from them.
+
+    ``dp_axis``/``dp_size``: run the whole epoch-scan trainer data-parallel
+    inside a shard_map over that mesh axis (parallel.spmd.train_gan_cell_dp).
+    Data arrays arrive replicated; each shard computes its bs/dp_size rows of
+    every batch, with the three DP collectives the math requires (gradient
+    pmean, cross-shard generator-BN stats, feature-matching moments pmean'd
+    before the square — see parallel/spmd.py). All stochastic tensors are
+    drawn for the GLOBAL batch and sliced per shard, so the DP trajectory
+    reproduces the single-device step exactly (up to f32 reduction order).
     """
     feat_dim = x_labeled.shape[-1]
     n_lab = x_labeled.shape[0]
@@ -142,6 +155,23 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
     bs = cfg.batch_size
     nb = n_train // bs
     mask = _masks(feat_dim, valid_dim)
+    if dp_axis is not None:
+        if bs % dp_size:
+            raise ValueError(
+                f"batch_size {bs} not divisible by data-axis size {dp_size}")
+        bsl = bs // dp_size
+        rank = jax.lax.axis_index(dp_axis)
+        local_rows = rank * bsl + jnp.arange(bsl)
+        # local rows of the fused 3-section disc batch [lab | unl | fake]
+        # within the (3*bs)-row global batch
+        rows3 = jnp.concatenate(
+            [s * bs + local_rows for s in range(3)])
+        # local rows of the 2-section gen batch [fake | unl]
+        rows2 = jnp.concatenate(
+            [s * bs + local_rows for s in range(2)])
+    else:
+        bsl = bs
+        local_rows = rows3 = rows2 = None
 
     k_init, k_run = jax.random.split(key)
     params = init_params(k_init, feat_dim, cfg)
@@ -152,8 +182,14 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
     adam = partial(optim.update, lr=cfg.lr, b1=cfg.beta1, stride=stride)
 
-    def disc_fwd(pd, x, k):
-        return nets.discriminator_apply(pd, x, k, train=True, in_mask=mask)
+    def disc_fwd(pd, x, k, noise_rows=None, noise_index=None):
+        return nets.discriminator_apply(pd, x, k, train=True, in_mask=mask,
+                                        noise_rows=noise_rows,
+                                        noise_index=noise_index)
+
+    def _pmean_f32(tree):
+        return jax.lax.pmean(
+            jax.tree.map(lambda a: a.astype(jnp.float32), tree), dp_axis)
 
     use_sh = cfg.matmul_weight_dtype == "bfloat16"
 
@@ -178,6 +214,9 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
             pg, pd, od, og = carry
             pg_sh, pd_sh = pg, pd
         li, ui, u2i, k = inputs
+        if dp_axis is not None:
+            # this shard's bs/dp_size rows of the global batch schedule
+            li, ui, u2i = (jnp.take(a, local_rows) for a in (li, ui, u2i))
         # Gather this batch's rows here, inside the scan step, rather than
         # materializing whole-epoch (nb, bs, D) batch tensors in epoch_body:
         # same indices -> identical math, but HBM sees one read of bs rows
@@ -193,10 +232,15 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
         # --- discriminator update (mr_gan.py:166,169; train_batch_disc) ---
         z1 = jax.random.normal(k_z1, (bs, cfg.noise_size))
-        x_fake = nets.generator_apply(pg_sh, z1, out_mask=mask)
+        if dp_axis is not None:
+            z1 = jnp.take(z1, local_rows, axis=0)  # global draw, local rows
+        x_fake = nets.generator_apply(pg_sh, z1, out_mask=mask,
+                                      axis_name=dp_axis)
 
         def d_loss(pd_):
-            logits, _ = disc_fwd(pd_, jnp.concatenate([xl, xu, x_fake]), k_d)
+            logits, _ = disc_fwd(pd_, jnp.concatenate([xl, xu, x_fake]), k_d,
+                                 noise_rows=3 * bs if dp_axis else None,
+                                 noise_index=rows3)
             logits_lab, logits_unl, logits_fake = jnp.split(logits, 3)
             ll = losses.loss_labeled(logits_lab, yl)
             lu = losses.loss_unlabeled(logits_unl, logits_fake)
@@ -204,6 +248,12 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
             return ll + cfg.unlabeled_weight * lu, (ll, lu, terr)
 
         d_grads, (ll, lu, terr) = jax.grad(d_loss, has_aux=True)(pd_sh)
+        if dp_axis is not None:
+            # per-shard mean-loss grads pmean'd = global-batch grads; f32
+            # reduction so the (validated) bf16 shadow-grad rounding isn't
+            # compounded by a low-precision allreduce
+            d_grads = _pmean_f32(d_grads)
+            ll, lu, terr = jax.lax.pmean((ll, lu, terr), dp_axis)
         pd, od = adam(d_grads, od, pd)
         if use_sh:
             pd_sh = _mm_shadow(pd)
@@ -212,14 +262,22 @@ def _train_one(key, x_labeled, y_labeled, pool, x_test, y_test,
 
         # --- generator update against the updated discriminator ---
         z2 = jax.random.normal(k_z2, (bs, cfg.noise_size))
+        if dp_axis is not None:
+            z2 = jnp.take(z2, local_rows, axis=0)
 
         def g_loss(pg_):
-            xf = nets.generator_apply(pg_, z2, out_mask=mask)
-            _, mid = disc_fwd(pd_sh, jnp.concatenate([xf, xu2]), k_g)
+            xf = nets.generator_apply(pg_, z2, out_mask=mask,
+                                      axis_name=dp_axis)
+            _, mid = disc_fwd(pd_sh, jnp.concatenate([xf, xu2]), k_g,
+                              noise_rows=2 * bs if dp_axis else None,
+                              noise_index=rows2)
             mid_fake, mid_real = jnp.split(mid, 2)
-            return losses.loss_feature_matching(mid_fake, mid_real)
+            return losses.loss_feature_matching(mid_fake, mid_real,
+                                                axis_name=dp_axis)
 
         g_grads = jax.grad(g_loss)(pg_sh)
+        if dp_axis is not None:
+            g_grads = _pmean_f32(g_grads)
         pg, og = adam(g_grads, og, pg)
         if use_sh:
             pg_sh = _mm_shadow(pg)
@@ -290,7 +348,8 @@ def scale_stats(x_train):
 
 
 def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,
-                       *, valid_dim, cfg: GanConfig, n_pool_valid=None):
+                       *, valid_dim, cfg: GanConfig, n_pool_valid=None,
+                       dp_axis=None, dp_size=1):
     """Device-side fold prep + training: the whole cell reads only the
     HBM-resident dataset X plus tiny index vectors.
 
@@ -313,7 +372,7 @@ def _train_one_indexed(key, X, y, lab_idx, pool_idx, train_idx, test_idx,
         scale(X[pool_idx]),
         scale(X[test_idx]), y[test_idx],
         n_train=train_idx.shape[0], valid_dim=valid_dim, cfg=cfg,
-        n_pool_valid=n_pool_valid,
+        n_pool_valid=n_pool_valid, dp_axis=dp_axis, dp_size=dp_size,
     )
 
 
