@@ -57,9 +57,10 @@ def main():
     n = 7200
     feat_dim = 3632       # modality 5 @ (4 s, 0.2 s): 3*400 + 128*19 mel
     bench_epochs = 20
-    # A/B hook for the flat scan-carry experiment (optim.CarryPack):
-    # MRGAN_BENCH_FLAT_CARRY=1 benches the packed-carry layout.
-    flat = bool(int(os.environ.get("MRGAN_BENCH_FLAT_CARRY", "0")))
+    # A/B hook for the flat scan-carry layout (optim.CarryPack): the packed
+    # layout won the round-2 A/B and is now the GanConfig default;
+    # MRGAN_BENCH_FLAT_CARRY=0 benches the legacy many-buffer layout.
+    flat = bool(int(os.environ.get("MRGAN_BENCH_FLAT_CARRY", "1")))
     cfg = gan.GanConfig(epochs=bench_epochs, flat_small_carry=flat)
 
     rng = np.random.RandomState(0)
@@ -92,6 +93,20 @@ def main():
     n_train = train.shape[-1]
     steps = folds * bench_epochs * (n_train // cfg.batch_size)
     value = steps / dt
+
+    # Second north-star metric (BASELINE.md): mel/MFCC frontend throughput
+    # through the PRODUCTION dispatcher (ops.mel.frontend_logmel — Pallas
+    # fused kernel on TPU, GEMM elsewhere), device-resident 1 s 48 kHz audio.
+    from mrgan_tpu.ops import mel as mel_ops
+
+    audio = jax.device_put(rng.randn(512, 48000).astype(np.float32))
+    jax.block_until_ready(mel_ops.frontend_logmel(audio))  # compile + warmup
+    reps = 5
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(mel_ops.frontend_logmel(audio))
+    mel_ex_s = reps * audio.shape[0] / (time.perf_counter() - t0)
+
     print(
         json.dumps(
             {
@@ -99,6 +114,11 @@ def main():
                 "value": round(value, 2),
                 "unit": "disc+gen updates/sec/chip (batch 50, feat 3632, 6-fold fused)",
                 "vs_baseline": round(value / BASELINE_STEPS_PER_SEC, 2),
+                "extra": {
+                    "mel_frontend_examples_per_sec": round(mel_ex_s, 1),
+                    "mel_frontend_unit":
+                        "1 s 48 kHz waveforms/sec/chip, production dispatch",
+                },
             }
         )
     )

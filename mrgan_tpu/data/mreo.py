@@ -124,7 +124,9 @@ def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
                 contact = arrs["contact"]
                 for s in range(0, n, batch_size):
                     chunks.append(
-                        np.asarray(mel_ops.logmel(contact[s : s + batch_size]))
+                        np.asarray(
+                            mel_ops.frontend_logmel(contact[s : s + batch_size])
+                        )
                     )
                 logmel = np.concatenate(chunks, 0)
             x = np.asarray(

