@@ -31,7 +31,8 @@ class CollectData:
                  data_dir="data_raw", hz=1000, verbose=False,
                  flat=False, quarterflat=False, rotateonce=False,
                  handle=False, neverrotate=False, pause_input=None,
-                 classifier=None):
+                 classifier=None, capture_images=True,
+                 per_poke_images=False, image_timeout=5.0):
         self.objectName = object_name
         self.clock = clock
         self.control = controller
@@ -61,6 +62,14 @@ class CollectData:
         # and the prediction is published on /semihaptics/prediction
         self.classifier = classifier
         self.predictions = []
+        # Kinect capture (collectdataPoke.py:178-190): objectImage is grabbed
+        # once per interaction; per-poke images mirror the reference's
+        # (commented-out, :366) per-iteration grab and default off
+        self.captureImages = capture_images
+        self.perPokeImages = per_poke_images
+        self.imageTimeout = image_timeout
+        self._image_frame = None
+        self._image_seq = 0
 
         self.zeroing = False
         self.recording = False
@@ -96,20 +105,45 @@ class CollectData:
                               self.contactmicCallback)
         self.client.subscribe("/semihaptics/collisiontime",
                               self.collisionTimeCallback)
+        self.client.subscribe("/semihaptics/image", self._imageCallback)
         self.statePublisher = lambda s: self.client.publish(
             "/semihaptics/datastate", s)
 
     # -- data management (collectdataPoke.py:107-231) -----------------------
 
     def resetData(self):
+        # the full 17-key schema of collectdataPoke.py:106 — saved pickles
+        # are key-compatible with the reference's
         self.dataAll = {
+            "objectImage": None, "images": [],
             "RGripRFingerTime": [], "RGripRFingerForceRaw": [],
             "RGripRFingerForce": [], "RGripRFingerPressure": [],
+            "RGripRFingerPressureRaw": [],
             "temperatureTime": [], "temperatureRaw": [], "temperature": [],
             "accelerometerTime": [], "accelerometerRaw": [],
             "accelerometer": [], "contactmicTime": [], "contactmicRaw": [],
             "contactmic": [], "collisionTime": [],
         }
+
+    def _imageCallback(self, msg):
+        import base64
+
+        frame = np.frombuffer(base64.b64decode(msg["data"]), np.uint8)
+        self._image_frame = frame.reshape(msg["h"], msg["w"], 3)
+        self._image_seq += 1
+
+    def grabImage(self, timeout=None):
+        """Kinect grab (collectdataPoke.py:178-190): wait for the NEXT frame
+        on /semihaptics/image; None when no camera publishes within the
+        timeout (the reference returns None on a bridge error)."""
+        timeout = self.imageTimeout if timeout is None else timeout
+        seq0 = self._image_seq
+        deadline = self.clock.now() + timeout
+        while self._image_seq == seq0:
+            if self.clock.now() > deadline:
+                return None
+            self.clock.sleep(0.01)
+        return self._image_frame
 
     def collisionTimeCallback(self, msg):
         self.collisionTimeTemp = msg
@@ -125,6 +159,9 @@ class CollectData:
             self.RGripRFingerForce = (raw - self.RGripRFingerForceMean) / \
                 FORCE_PER_UNIT
             pressure = self.RGripRFingerForce / TACTILE_AREA / 1000.0
+            # reference quirk (collectdataPoke.py:123): PressureRaw is
+            # computed from the UN-zeroed raw counts — no mean subtraction
+            pressure_raw = (raw / FORCE_PER_UNIT) / TACTILE_AREA / 1000.0
             if self.recording:
                 self.dataAll["RGripRFingerTime"][-1].append(
                     self.clock.now() - self.startTime)
@@ -132,6 +169,8 @@ class CollectData:
                 self.dataAll["RGripRFingerForce"][-1].append(
                     np.copy(self.RGripRFingerForce))
                 self.dataAll["RGripRFingerPressure"][-1].append(pressure)
+                self.dataAll["RGripRFingerPressureRaw"][-1].append(
+                    pressure_raw)
 
     def accelerometerCallback(self, msg):
         samples = msg["samples"]
@@ -296,6 +335,11 @@ class CollectData:
 
         self.reheat()
         self._rotation_catchup()
+        if self.captureImages:
+            # one object photo per interaction (collectdataPoke.py:276);
+            # None when no camera publisher is on the bus — the key is
+            # present either way, like the reference's saved schema
+            self.dataAll["objectImage"] = self.grabImage()
         if self.verbose:
             print("Press enter at any point to pause the program")
         index = 2 if self.vertical else 1
@@ -349,6 +393,9 @@ class CollectData:
 
             self.dataAll["collisionTime"].append(
                 min(self.collisionTimeForce, self.collisionTimeTemp))
+            if self.perPokeImages:
+                # per-iteration photo (collectdataPoke.py:366)
+                self.dataAll["images"].append(self.grabImage())
             if self.verbose:
                 print("Iteration %d collected, collision times:" % i,
                       (self.collisionTimeForce, self.collisionTimeTemp))

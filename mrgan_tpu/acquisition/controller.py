@@ -17,6 +17,7 @@ Material presets set the contact physics (thermal coupling, stiffness,
 resonance) so different 'objects' produce distinguishable signals end-to-end.
 """
 
+import os
 import threading
 
 import numpy as np
@@ -38,6 +39,93 @@ TACTILE_AREA = 0.0003     # m^2 per taxel (pressure = F / area / 1000 kPa)
 N_TAXELS = 22             # PR2 fingertip array size
 FORCE_RATE = 50.0         # Hz
 ACCEL_RATE = 100.0        # Hz
+
+# -- arm-controller gain profiles (C17) --------------------------------------
+# datacollection/control/pr2_arm_controllers_{grasp,original}.yaml mirror the
+# reference's stiff poking gains (its grasp yaml :13-19) and the factory
+# defaults (the commented block inside the same file, :21-27). The sim arm
+# consumes them as a Cartesian servo: joint p-gains set an effective
+# end-effector stiffness (the spring the servo can exert against contact),
+# d/p sets the tracking lag. i/i_clamp (steady-state trim on the real robot)
+# are parsed but not modeled — the kinematic arm has no gravity sag.
+
+_CONTROL_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "datacollection", "control")
+GAIN_PROFILES = {
+    "grasp": "pr2_arm_controllers_grasp.yaml",
+    "original": "pr2_arm_controllers_original.yaml",
+    "factory": "pr2_arm_controllers_original.yaml",
+    "active": "pr2_arm_controllers_active.yaml",  # change_gains_pr2.sh symlink
+}
+# Cartesian stiffness per unit of mean joint p-gain. Calibrated so the grasp
+# profile tracks near-kinematically against the stiffest sim material
+# (pen_actual/pen_commanded ~ 0.95 on metal) while the factory profile
+# visibly complies (~0.44): stiff gains push through contact, factory gains
+# stall against it — the reason the reference swaps gains for poking.
+GAIN_TO_CART_STIFFNESS = 8.0
+
+
+def _yaml_scalar(v):
+    try:
+        return float(v)
+    except ValueError:
+        return v
+
+
+def parse_simple_yaml(text):
+    """Minimal YAML-subset parser for the controller gain files: nested maps
+    by indentation, inline {k: v, ...} maps, float/str scalars. Avoids a
+    pyyaml dependency for two 30-line config files."""
+    root = {}
+    stack = [(-1, root)]
+    for raw in text.splitlines():
+        line = raw.split("#", 1)[0].rstrip()
+        if not line.strip():
+            continue
+        indent = len(line) - len(line.lstrip())
+        key, _, val = line.strip().partition(":")
+        val = val.strip()
+        while len(stack) > 1 and indent <= stack[-1][0]:
+            stack.pop()
+        parent = stack[-1][1]
+        if not val:
+            child = {}
+            parent[key] = child
+            stack.append((indent, child))
+        elif val.startswith("{"):
+            inner = {}
+            for part in val.strip("{}").split(","):
+                k, _, v = part.partition(":")
+                inner[k.strip()] = _yaml_scalar(v.strip())
+            parent[key] = inner
+        else:
+            parent[key] = _yaml_scalar(val)
+    return root
+
+
+def load_gain_profile(profile="grasp"):
+    """Load a gain profile by name ('grasp', 'original'/'factory', 'active' =
+    the change_gains_pr2.sh symlink) or by path. 'active' falls back to the
+    grasp profile when the symlink has not been created."""
+    if isinstance(profile, dict):
+        return profile
+    path = os.path.join(_CONTROL_DIR, GAIN_PROFILES.get(profile, profile))
+    if not os.path.exists(path) and profile == "active":
+        path = os.path.join(_CONTROL_DIR, GAIN_PROFILES["grasp"])
+    with open(path) as f:
+        return parse_simple_yaml(f.read())
+
+
+def cartesian_servo_params(profile):
+    """(k_servo N/m-ish, tracking-lag tau s) from a gain profile dict."""
+    gains = profile["r_arm_controller"]["gains"]
+    ps = [g["p"] for g in gains.values()]
+    ds = [g["d"] for g in gains.values()]
+    mean_p = float(np.mean(ps))
+    k_servo = GAIN_TO_CART_STIFFNESS * mean_p
+    tau = float(np.mean(ds)) / mean_p
+    return k_servo, tau
 
 
 class SimWorld(threading.Thread):
@@ -79,6 +167,33 @@ class SimWorld(threading.Thread):
         if self.axis == 1:
             return max(0.0, self.gripper_pos[1] - self.surface)
         return max(0.0, self.surface - self.gripper_pos[2])
+
+    def contact_stiffness(self):
+        """dF/d(penetration) of the staged material (force model in run())."""
+        return MATERIALS[self.material][1] * 400.0
+
+    def project_compliant(self, pos, k_servo):
+        """Quasi-static servo-vs-contact equilibrium: a commanded position
+        ``pos`` penetrating the surface yields an ACTUAL penetration of
+        pen * k_servo / (k_servo + k_obj) — the servo spring (from the
+        active gain profile) in series with the contact spring. Stiff grasp
+        gains push essentially through; factory gains visibly stall."""
+        with self._lock:
+            surface = self.surface
+        if surface is None:
+            return pos
+        k_obj = self.contact_stiffness()
+        ratio = k_servo / (k_servo + k_obj)
+        pos = np.array(pos, float)
+        if self.axis == 1:
+            pen = pos[1] - surface
+            if pen > 0.0:
+                pos[1] = surface + pen * ratio
+        else:
+            pen = surface - pos[2]
+            if pen > 0.0:
+                pos[2] = surface - pen * ratio
+        return pos
 
     def run(self):
         coupling, stiffness, freq, amp, decay = MATERIALS[self.material]
@@ -125,7 +240,7 @@ class SimController:
     """control/controller.py API over a kinematic point gripper."""
 
     def __init__(self, frame="torso_lift_link", vertical_movement=False,
-                 world=None, clock=None):
+                 world=None, clock=None, gain_profile="active"):
         self.frame = frame
         self.vertical = vertical_movement
         self.world = world
@@ -136,13 +251,31 @@ class SimController:
         self.left_rpy = np.zeros(3)
         self.wrist_angle = 0.0
         self._movers = []
+        self.set_gains(gain_profile)
+
+    def set_gains(self, profile):
+        """Swap the arm gain profile (the change_gains_pr2.sh operation, C17):
+        name, path, or parsed dict. Sets the Cartesian servo stiffness (how
+        hard the arm pushes against contact) and tracking lag."""
+        self.gain_profile = load_gain_profile(profile)
+        self.servo_k, self.servo_tau = cartesian_servo_params(
+            self.gain_profile)
 
     # -- motion ------------------------------------------------------------
     def moveGripperTo(self, position, orientation=None, timeout=4.0,
                       useInitGuess=False, wait=False, rightArm=True):
-        """Linear interpolation to the goal over ``timeout`` sim-seconds, on
-        a background thread (actionlib-goal semantics: non-blocking unless
-        wait=True; controller.py:105-153)."""
+        """Linear-interpolated setpoint to the goal over ``timeout``
+        sim-seconds, tracked by the gain-profile servo, on a background
+        thread (actionlib-goal semantics: non-blocking unless wait=True;
+        controller.py:105-153).
+
+        The servo model is where the C17 gain profiles act: the commanded
+        setpoint is followed with first-order lag ``servo_tau`` (= mean d/p
+        of the active profile), and contact compliance is the quasi-static
+        equilibrium of the profile's Cartesian stiffness against the
+        object's (SimWorld.project_compliant) — so the factory profile's
+        force traces rise later and plateau visibly lower than the stiff
+        grasp profile's, the dynamics the reference swapped gains for."""
         position = np.array(position, float)
         if not rightArm:
             self.left_pos = position
@@ -154,13 +287,25 @@ class SimController:
         t0 = self.clock.now()
 
         def mover():
+            act = np.copy(start)
+            last = t0
             while True:
-                frac = (self.clock.now() - t0) / max(timeout, 1e-6)
-                f = min(frac, 1.0)
-                self.right_pos = start + f * (position - start)
+                now = self.clock.now()
+                f = min((now - t0) / max(timeout, 1e-6), 1.0)
+                setp = start + f * (position - start)
+                dt = max(now - last, 1e-9)
+                last = now
+                act[:] = act + (1.0 - np.exp(-dt / max(self.servo_tau, 1e-6))) \
+                    * (setp - act)
+                pos_out = act
+                if self.world is not None:
+                    pos_out = self.world.project_compliant(act, self.servo_k)
+                self.right_pos = np.array(pos_out, float)
                 if self.world is not None:
                     self.world.update_gripper(self.right_pos)
-                if f >= 1.0:
+                if f >= 1.0 and (
+                        float(np.max(np.abs(setp - act))) < 1e-4
+                        or now - t0 > timeout + 8 * self.servo_tau):
                     return
                 self.clock.sleep(0.002)
 

@@ -181,5 +181,78 @@ class ContactMicPublisher(PublisherBase):
                 self.clock.sleep(0.0001)
 
 
+class CameraPublisher(threading.Thread):
+    """Kinect stand-in: publishes frames of the staged object on
+    /semihaptics/image so the orchestrator's grabImage
+    (collectdataPoke.py:178-190, a wait-for-next-message on that topic) works
+    against the sim stack.
+
+    The rendered scene is deterministic per (object_name, material): a
+    material-colored blob with object-seeded shape/texture over a noisy
+    tabletop — enough structure that downstream consumers of
+    objectImage/images can tell objects apart, cheap enough to ship over the
+    JSON-line bus (base64 rgb8, ~19 KB/frame at 60x80)."""
+
+    MATERIAL_COLORS = {
+        "plastic": (200, 60, 60), "glass": (120, 190, 220),
+        "fabric": (170, 130, 60), "metal": (160, 160, 175),
+        "wood": (140, 95, 45), "ceramic": (225, 220, 205),
+    }
+
+    def __init__(self, bus_address, clock, object_name="object",
+                 material="plastic", rate=2.0, shape=(60, 80)):
+        super().__init__(daemon=True)
+        self.clock = clock
+        self.client = BusClient(bus_address)
+        self.rate = rate
+        self.shape = shape
+        self.object_name = object_name
+        self.material = material
+        self._running = True
+        self._frame = self._render()
+
+    def _render(self):
+        import zlib
+
+        h, w = self.shape
+        rng = np.random.RandomState(
+            zlib.crc32(self.object_name.encode()) & 0x7FFFFFFF)
+        img = 115.0 + 8.0 * rng.randn(h, w, 3)  # tabletop + sensor noise
+        color = np.array(self.MATERIAL_COLORS.get(self.material, (128,) * 3),
+                         float)
+        cy = h / 2 + rng.uniform(-h / 10, h / 10)
+        cx = w / 2 + rng.uniform(-w / 10, w / 10)
+        ry = rng.uniform(h / 6, h / 3)
+        rx = rng.uniform(w / 6, w / 3)
+        yy, xx = np.mgrid[0:h, 0:w]
+        mask = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1.0
+        stripes = 0.15 * np.sin(2 * np.pi * rng.uniform(2, 8) * xx / w
+                                + rng.uniform(0, 2 * np.pi))
+        shade = color[None, None, :] * (0.85 + stripes + 0.05
+                                        * rng.randn(h, w))[..., None]
+        img = np.where(mask[..., None], shade, img)
+        return np.clip(img, 0, 255).astype(np.uint8)
+
+    def run(self):
+        import base64
+
+        h, w = self.shape
+        payload = {
+            "h": h, "w": w, "encoding": "rgb8",
+            "data": base64.b64encode(self._frame.tobytes()).decode("ascii"),
+        }
+        period = 1.0 / self.rate
+        while self._running:
+            self.client.publish("/semihaptics/image", payload)
+            self.clock.sleep(period)
+
+    def stop(self):
+        self._running = False
+
+    def close(self):
+        self.stop()
+        self.client.close()
+
+
 if __name__ == "__main__":
     main()

@@ -39,6 +39,15 @@ def main(argv=None):
                         help="serve.MaterialClassifier checkpoint: classify "
                         "each poke online and publish the prediction on "
                         "/semihaptics/prediction")
+    parser.add_argument("--gains", default="active",
+                        help="Arm gain profile: grasp | original | active "
+                        "(the change_gains_pr2.sh symlink) | path (C17)")
+    parser.add_argument("--no-camera", action="store_true",
+                        help="Do not start the sim Kinect; objectImage is "
+                        "saved as None like a camera-less session")
+    parser.add_argument("--per-poke-images", action="store_true",
+                        help="Also grab an image per poke into 'images' "
+                        "(the reference's commented-out grab, :366)")
     args = parser.parse_args(argv)
 
     from mrgan_tpu.acquisition import collect, controller, publishers, serialdev
@@ -64,13 +73,20 @@ def main(argv=None):
     mic_pub = publishers.ContactMicPublisher(server.address, clock, mic)
     temp_pub.start()
     mic_pub.start()
+    camera = None
+    if not args.no_camera:
+        camera = publishers.CameraPublisher(server.address, clock,
+                                            object_name=args.name,
+                                            material=args.material)
+        camera.start()
 
     world = controller.SimWorld(server.address, clock, thermal, mic,
                                 material=args.material,
                                 axis=2 if args.vertmove else 1)
     world.start()
     control = controller.SimController(vertical_movement=args.vertmove,
-                                       world=world, clock=clock)
+                                       world=world, clock=clock,
+                                       gain_profile=args.gains)
 
     collector = collect.CollectData(
         args.name, server.address, clock, control,
@@ -78,7 +94,9 @@ def main(argv=None):
         vertical_movement=args.vertmove, data_dir=args.data_dir, verbose=True,
         flat=args.flat, quarterflat=args.quarterflat,
         rotateonce=args.rotateonce, handle=args.handle,
-        neverrotate=args.neverrotate, classifier=classifier)
+        neverrotate=args.neverrotate, classifier=classifier,
+        capture_images=not args.no_camera,
+        per_poke_images=args.per_poke_images)
     try:
         saved = collector.performInteraction(rng=np.random)
         print("Saved:", saved)
@@ -86,6 +104,8 @@ def main(argv=None):
         world.stop()
         temp_pub.close()
         mic_pub.close()
+        if camera is not None:
+            camera.close()
         server.close()
 
 
