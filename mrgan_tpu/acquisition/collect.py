@@ -423,6 +423,10 @@ class CollectData:
             if (i + 1) % self.saveBatchSize == 0:
                 saved.append(self.saveData(batch=(i + 1) // self.saveBatchSize))
                 self.resetData()
+                if self.captureImages:
+                    # resetData wipes objectImage; re-grab so every batch
+                    # file carries the interaction's object photo
+                    self.dataAll["objectImage"] = self.grabImage()
             self.reheat()
 
         if (i + 1) % self.saveBatchSize != 0:

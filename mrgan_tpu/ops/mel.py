@@ -196,10 +196,19 @@ def frontend_logmel(audio, sr=48000, n_fft=2048, hop_length=512, n_mels=128,
 
     backend = os.environ.get("MRGAN_MEL_BACKEND", "auto").lower()
     prec_name = os.environ.get("MRGAN_MEL_PRECISION", "highest").lower()
-    precision = {"highest": jax.lax.Precision.HIGHEST,
-                 "high": jax.lax.Precision.HIGH}[prec_name]
+    precisions = {"highest": jax.lax.Precision.HIGHEST,
+                  "high": jax.lax.Precision.HIGH}
+    if prec_name not in precisions:
+        raise ValueError(
+            "MRGAN_MEL_PRECISION=%r; valid: %s (DEFAULT/1-pass-bf16 is "
+            "rejected for parity use — 4.9 dB off the golden fixtures)"
+            % (prec_name, "/".join(precisions)))
+    precision = precisions[prec_name]
     if backend == "auto":
         backend = "pallas" if jax.default_backend() == "tpu" else "gemm"
+    elif backend not in ("gemm", "pallas"):
+        raise ValueError("MRGAN_MEL_BACKEND=%r; valid: auto/gemm/pallas"
+                         % (backend,))
     if backend == "pallas":
         from . import mel_pallas
 

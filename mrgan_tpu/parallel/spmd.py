@@ -163,8 +163,6 @@ def _dp_cell_trainer(shapes, valid_dim, cfg, mesh, n_pool_valid,
     the single-device trainer exactly up to f32 reduction order —
     tests/test_parallel.py::test_dp_cell_epoch_matches_single_device.
     """
-    from jax import shard_map as _shard_map
-
     dp = mesh.shape["data"]
 
     def run(keys, X, y, lab, pool, train, test):
@@ -179,7 +177,7 @@ def _dp_cell_trainer(shapes, valid_dim, cfg, mesh, n_pool_valid,
         return jax.vmap(one)(keys, lab, pool, train, test)
 
     specs = P()  # replicated in/out; params & results identical on all shards
-    fn = _shard_map(run, mesh=mesh,
+    fn = shard_map(run, mesh=mesh,
                     in_specs=(specs,) * 7,
                     out_specs=(specs, specs) if with_metrics else specs,
                     check_vma=False)

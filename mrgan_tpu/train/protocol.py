@@ -282,14 +282,27 @@ def run_indexed_folds(ds, idx, cfg, rng, mesh=None, with_metrics=False):
         # tests/test_parallel.py::test_dp_cell_epoch_matches_single_device.
         from ..parallel import spmd
 
-        out = spmd.train_gan_cell_dp(
-            keys, ds.X, ds.y, lab, pool, train, test,
-            valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh,
-            with_metrics=with_metrics)
+        # Index vectors are replicated under shard_map, so EVERY device
+        # gathers every fold's full scaled arrays — the per-device bytes are
+        # the whole launch. Chunk at the single-device budget (a 6 x 12032
+        # Table-5 launch is the documented worker-crash shape above).
+        chunk = _fold_launch_chunk(
+            len(idx), ds.X.shape[-1], lab.shape[1], pool.shape[1],
+            train.shape[1], test.shape[1])
+        out = [
+            spmd.train_gan_cell_dp(
+                keys[s : s + chunk], ds.X, ds.y, lab[s : s + chunk],
+                pool[s : s + chunk], train[s : s + chunk],
+                test[s : s + chunk],
+                valid_dim=ds.valid_dim, cfg=cfg, mesh=mesh,
+                with_metrics=with_metrics)
+            for s in range(0, len(idx), chunk)
+        ]
         if with_metrics:
-            e, m = out
-            return np.asarray(e), {k: np.asarray(v) for k, v in m.items()}
-        return np.asarray(out)
+            return (np.concatenate([np.asarray(e) for e, _ in out]),
+                    {k: np.concatenate([np.asarray(m[k]) for _, m in out])
+                     for k in out[0][1]})
+        return np.concatenate([np.asarray(o) for o in out])
     chunk = _fold_launch_chunk(
         len(idx), ds.X.shape[-1], lab.shape[1], pool.shape[1],
         train.shape[1], test.shape[1],

@@ -265,3 +265,39 @@ def test_run_gan_cell_dp_end_to_end():
     errs = np.asarray(errs)
     assert errs.shape == (3,)
     assert np.all((errs >= 0) & (errs <= 1))
+
+
+def test_dp_cell_path_respects_fold_launch_byte_budget(monkeypatch):
+    """The data-parallel branch of run_indexed_folds must chunk fold
+    launches like every other path: under shard_map the index vectors are
+    replicated, so each device gathers ALL folds' arrays — an unchunked
+    wide-feature launch is the documented worker-crash shape. With the
+    budget forced tiny (chunk=1) the chunked result must equal the
+    single-launch one."""
+    from mrgan_tpu.train import protocol
+
+    cfg = gan.GanConfig(noise_size=8, batch_size=8, epochs=1, pad_multiple=1,
+                        matmul_weight_dtype="float32",
+                        opt_state_dtype="float32")
+    rng = np.random.RandomState(2)
+    n, d, folds = 192, 16, 3
+    x = rng.randn(n, d).astype(np.float32)
+    y = np.tile(np.arange(6, dtype=np.int32), n // 6)
+    ds = protocol.DeviceDataset(x, y, cfg.pad_multiple)
+    splits = protocol.stratified_splits(ds.y_host, n_splits=folds, seed=0)
+    prot_rng = np.random.RandomState(0)
+    idx = [protocol.fold_indices(ds.y_host, tr, te, 100, None, 6, prot_rng)
+           for tr, te in splits]
+    mesh = _mesh(1, 4)
+
+    ref = protocol.run_indexed_folds(ds, idx, cfg, np.random.RandomState(7),
+                                     mesh=mesh)
+    monkeypatch.setattr(protocol, "FOLD_LAUNCH_BYTE_BUDGET", 1.0)
+    got = protocol.run_indexed_folds(ds, idx, cfg, np.random.RandomState(7),
+                                     mesh=mesh)
+    assert got.shape == (folds,)
+    # vmap width (3 folds fused vs 1 per launch) changes XLA reduction
+    # order; the resulting ~1e-7 f32 drift can flip an argmax boundary case
+    # (error quantum here = 1/64) — pin tracking, not bitwise equality,
+    # like the other cross-partitioning tests in this file
+    np.testing.assert_allclose(got, ref, atol=0.05)
