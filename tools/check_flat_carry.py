@@ -29,7 +29,10 @@ def main():
     print(f"backend: {platform}")
 
     rng = np.random.RandomState(0)
-    n, d, folds = 600, 384, 2
+    # d=1280 is the proven-safe padded width class (protocol --pad-min);
+    # narrower widths (384, 640) are the known TPU-worker hang/crash shape
+    # in the fused trainer — the first run of this tool wedged at d=384
+    n, d, folds = 600, 1280, 2
     x = rng.randn(n, d).astype(np.float32)
     y = np.tile(np.arange(6, dtype=np.int32), n // 6)
     keys = rng_util.make_keys(0, folds)
