@@ -167,14 +167,28 @@ def build(artifacts):
             L += ["", "GAN-vs-MLP @1 % labels (the paper's core claim): "
                   + "; ".join(gaps)]
 
-    # --- bench + flat-carry A/B ---------------------------------------
+    # --- bench + carry-layout A/B ---------------------------------------
+    # bench_queue.log is the official line (flat carry is the default since
+    # round 3); bench_legacy.log is the A/B with the legacy pytree carry
+    # (MRGAN_BENCH_FLAT_CARRY=0). The pre-round-3 /tmp/bench_flat.log (flat
+    # as the opt-in side) is only used if no legacy log exists.
     bench = _json_lines_from_log("/tmp/bench_queue.log")
+    legacy = _json_lines_from_log("/tmp/bench_legacy.log")
     flat = _json_lines_from_log("/tmp/bench_flat.log")
     if bench:
         b = bench[-1]
         L += ["", f"- bench.py: **{b['value']:.0f} {b['unit']}** "
               f"({b['vs_baseline']:.1f}× baseline)"]
-    if flat:
+        mel = (b.get("extra") or {}).get("mel_frontend_examples_per_sec")
+        if mel:
+            L.append(f"- mel frontend through production dispatch: "
+                     f"**{mel:.0f} {b['extra']['mel_frontend_unit']}**")
+    if legacy:
+        b = legacy[-1]
+        L.append(f"- legacy scan-carry layout A/B (MRGAN_BENCH_FLAT_CARRY=0): "
+                 f"{b['value']:.0f} {b['unit']} "
+                 f"({b['vs_baseline']:.1f}× baseline)")
+    elif flat:
         b = flat[-1]
         L.append(f"- flat scan-carry A/B (MRGAN_BENCH_FLAT_CARRY=1): "
                  f"{b['value']:.0f} {b['unit']} "
