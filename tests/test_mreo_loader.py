@@ -153,6 +153,39 @@ def test_temperature_class_is_union_of_object_clusters():
     assert np.all(ratios < 100.0), ratios
 
 
+def test_force_information_rises_with_window_duration():
+    """Table-5 force property (published 70.9 % @0.1 s -> 87.9 % @4 s,
+    paperplotly.py:51): the round-3b contact-settling transient reads the
+    first ~quarter second through an uncalibrated sensor (poke-random gain
+    and baseline that decay away), so amplitude/rise cues decohere in short
+    windows while the creep and ring-down cues keep accruing. Same
+    top-Fisher proxy as the mic/temperature tests (measured
+    0.35 / 1.64 / 2.40 at 0.1 / 1 / 4 s at this seed)."""
+
+    def top_fisher(dur):
+        x, y = mreo.load_features(
+            modalities=0, forcetemp_time=dur, contactmic_time=0.05,
+            synthetic_seed=0,
+            synthetic_kwargs=dict(pokes_per_object=10, objects_per_material=4,
+                                  with_contact=False))
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y)
+        sd = x.std(0)
+        sd[sd < 1e-6] = 1.0
+        x = (x - x.mean(0)) / sd
+        gm = x.mean(0)
+        sb, sw = 0.0, 0.0
+        for c in np.unique(y):
+            xc = x[y == c]
+            sb = sb + len(xc) * (xc.mean(0) - gm) ** 2
+            sw = sw + ((xc - xc.mean(0)) ** 2).sum(0)
+        return float(np.sort(sb / (sw + 1e-9))[-20:].mean())
+
+    short, mid, long_ = (top_fisher(d) for d in (0.1, 1.0, 4.0))
+    assert mid > 2.0 * short, (short, mid)
+    assert long_ > 3.0 * short, (short, long_)
+
+
 def test_temperature_information_rises_with_window_duration():
     """Table-5 temperature property (published 58.9 % @0.1 s -> 82.1 % @4 s,
     paperplotly.py:51): short windows see only the fast-mixing onset through
