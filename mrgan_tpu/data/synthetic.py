@@ -335,21 +335,40 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # (v-free). Many labels can combine/deconfound them; a handful
             # cannot — that asymmetry shapes the label-efficiency curve.
             s_eff = float(np.clip(o_stiff, 0.0, 1.1))
+            # contact-trigger latency (round-3b): the force channel's
+            # collision detection reports contact a poke-random few tens of
+            # ms late (gauge DSP buffering + threshold crossing on a noisy
+            # rise), so the recorded window starts misaligned relative to
+            # the impact transient. A 0.1-0.2 s window is then mostly the
+            # misaligned spike/ramp (published Force @0.1 s = 70.9 %,
+            # paperplotly.py:51), while >=1 s windows keep the creep and
+            # ring-down cues — time CONSTANTS are shift-invariant. Seeded
+            # off the object's stiffness draw, not the main stream, so the
+            # temperature and audio channels stay bit-identical to the
+            # round-3 generator.
+            srng = np.random.RandomState(int(o_stiff * 1e7) % (2 ** 31 - 1))
+            # trigger latency is mostly a fixed property of the object's
+            # rise shape (threshold crossing on ITS ramp) — consistent
+            # across pokes, so the model can align around it — plus a small
+            # poke-random detection jitter that smears sub-window alignment
+            lag = np.abs(0.020 + 0.020 * srng.randn()) \
+                + np.abs(0.006 * srng.randn(p, 1))
+            ct_f = np.maximum(t_ft[None, :] - lag, 0.0)
             peak = (3.0 + 4.0 * o_stiff) * v * q**0.3 \
-                * (1 + 0.05 * rng.randn(p, 1))
+                * (1 + 0.09 * rng.randn(p, 1))
             # impact spike: impulse transient proportional to velocity ALONE
             # (stiffness-independent) — an explicit v readout that a richly-
             # labeled model can use to deconfound the peak, but 10 labels per
             # class cannot
-            spike = 2.5 * v * np.exp(-contact_t / 0.02) \
-                * (1 + 0.08 * rng.randn(p, 1))
+            spike = 2.5 * v * np.exp(-ct_f / 0.02) \
+                * (1 + 0.15 * rng.randn(p, 1))
             rise = (0.012 + 0.10 * (1.0 - s_eff)) \
-                * np.exp(0.12 * hardness * rng.randn(p, 1))
-            ramp = 1.0 - np.exp(-contact_t / np.maximum(rise, 1e-3))
+                * np.exp(0.26 * hardness * rng.randn(p, 1))
+            ramp = 1.0 - np.exp(-ct_f / np.maximum(rise, 1e-3))
             creep_amt = np.clip(0.5 * (1.0 - s_eff), 0.0, 0.6) \
                 * (1 + 0.10 * hardness * rng.randn(p, 1))
             t_creep = 0.9 * np.exp(0.15 * hardness * rng.randn())  # per object
-            plateau = 1.0 - creep_amt * (1.0 - np.exp(-contact_t / t_creep))
+            plateau = 1.0 - creep_amt * (1.0 - np.exp(-ct_f / t_creep))
             # contact oscillation: the low-frequency analog of the object's
             # acoustic response (same latent resonance/damping — it is the
             # same physical contact), scaled into the force sensor's 100 Hz
@@ -359,8 +378,8 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # by hundreds of ms.
             osc = (
                 0.5 * o_stiff * (0.5 + 0.7 * o_amp)
-                * np.exp(-contact_t / np.maximum(osc_t, 1e-3))
-                * np.sin(2 * np.pi * osc_f * contact_t)
+                * np.exp(-ct_f / np.maximum(osc_t, 1e-3))
+                * np.sin(2 * np.pi * osc_f * ct_f)
             )
             ratio = 0.8 + 0.05 * hardness * rng.randn(p, 1)
             f0_sig = _sensor_lag(peak * ramp * plateau + peak * osc + spike,
@@ -368,26 +387,19 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             f1_sig = _sensor_lag(ratio * peak * ramp * plateau
                                  + peak * osc * 0.7 + 0.9 * spike,
                                  _FORCE_SENSOR_TAU * hardness, dt)
-            # contact-settling transient (round-3b): immediately after impact
-            # the fingertip pad conforms viscoelastically and the gripper
-            # re-seats, so for the first ~quarter second the load path — and
+            # contact-settling transient: immediately after impact the
+            # fingertip pad conforms viscoelastically and the gripper
+            # re-seats, so for the first ~tenth second the load path — and
             # with it the gauge's effective gain and baseline — wanders
-            # poke-randomly before settling. Short Table-5 windows
-            # (0.1-0.2 s) therefore read amplitude and rise-shape cues
-            # through an uncalibrated sensor (published Force duration curve
-            # starts at 70.9 % @0.1 s, paperplotly.py:51), while >=2 s
-            # windows are mostly settled samples and keep the creep- and
-            # ring-down cues intact. Seeded deterministically from the
-            # object's stiffness draw rather than the main stream, so the
-            # temperature and audio channels stay bit-identical to the
-            # round-3 generator.
-            srng = np.random.RandomState(int(o_stiff * 1e7) % (2 ** 31 - 1))
-            t_set = 0.22 * np.exp(0.25 * srng.randn(p, 1))
-            on = (t_ft[None, :] > 0.0)  # impact-triggered: quiet pre-contact
-            settle = np.exp(-contact_t / np.maximum(t_set, 1e-3)) * on
-            gain0 = 1.0 + 0.10 * hardness * srng.randn(p, 1) * settle
-            gain1 = 1.0 + 0.10 * hardness * srng.randn(p, 1) * settle
-            wobble = peak * 0.30 * hardness
+            # poke-randomly before settling. This corrupts only the first
+            # few samples after the (already late) trigger, compounding the
+            # short-window penalty without touching >=0.5 s cues.
+            t_set = 0.10 * np.exp(0.25 * srng.randn(p, 1))
+            on = (t_ft[None, :] > lag)  # trigger-gated: quiet pre-contact
+            settle = np.exp(-ct_f / np.maximum(t_set, 1e-3)) * on
+            gain0 = 1.0 + 0.06 * hardness * srng.randn(p, 1) * settle
+            gain1 = 1.0 + 0.06 * hardness * srng.randn(p, 1) * settle
+            wobble = peak * 0.10 * hardness
             off0 = wobble * srng.randn(p, 1) * settle
             off1 = wobble * srng.randn(p, 1) * settle
             force0 = f0_sig * gain0 + off0 \

@@ -155,12 +155,13 @@ def test_temperature_class_is_union_of_object_clusters():
 
 def test_force_information_rises_with_window_duration():
     """Table-5 force property (published 70.9 % @0.1 s -> 87.9 % @4 s,
-    paperplotly.py:51): the round-3b contact-settling transient reads the
-    first ~quarter second through an uncalibrated sensor (poke-random gain
-    and baseline that decay away), so amplitude/rise cues decohere in short
-    windows while the creep and ring-down cues keep accruing. Same
-    top-Fisher proxy as the mic/temperature tests (measured
-    0.35 / 1.64 / 2.40 at 0.1 / 1 / 4 s at this seed)."""
+    paperplotly.py:51): per-poke amplitude/rise nuisance (impact velocity,
+    contact quality, detection-trigger jitter) plus a brief contact-settling
+    transient decohere the cues a 0.1-0.2 s window relies on, while the
+    creep and ring-down cues keep accruing with duration and can deconfound
+    the amplitude noise. Same top-Fisher proxy as the mic/temperature tests
+    (measured 0.37 / 1.55 / 2.16 at 0.1 / 1 / 4 s at this seed; hardware
+    GAN probe 69.1 / 79.7 / 83.2 / 86.2 % at 0.1 / 0.2 / 1 / 4 s)."""
 
     def top_fisher(dur):
         x, y = mreo.load_features(
