@@ -32,7 +32,9 @@ class CollectData:
                  flat=False, quarterflat=False, rotateonce=False,
                  handle=False, neverrotate=False, pause_input=None,
                  classifier=None, capture_images=True,
-                 per_poke_images=False, image_timeout=5.0):
+                 per_poke_images=False, image_timeout=5.0,
+                 width=0.0, length=0.0, height=0.0, height_offset=0.0,
+                 init_width=0.0, curvedsurface=False):
         self.objectName = object_name
         self.clock = clock
         self.control = controller
@@ -44,6 +46,26 @@ class CollectData:
         self.dataDir = data_dir
         self.hz = hz
         self.verbose = verbose
+        # object-geometry flags (collectdataPoke.py:411-428): they set the
+        # initial gripper pose (:45-54), the poke travel (:320), and the
+        # per-poke start-position randomization (:374-379)
+        self.width = width
+        self.length = length
+        self.height = height
+        self.curvedsurface = curvedsurface
+        if not vertical_movement:
+            # right gripper backs off by the object length; heightoffset
+            # raises the poke line (collectdataPoke.py:45-49)
+            self.initRightPos = np.array(
+                [0.495, -0.1 - length, 0.08 + height_offset])
+            self.initRightRPY = np.array([0.0, 0.0, np.pi / 2.0])
+            self.initLeftPos = np.array([0.5, 0.0, 0.0])
+        else:
+            # vertical pokes start above the object top (:51-54)
+            self.initRightPos = np.array(
+                [0.5 + init_width, -0.12, 0.02 + height])
+            self.initRightRPY = np.array([0.0, np.pi / 2.0, np.pi / 2.0])
+            self.initLeftPos = np.array([0.5, -0.1, -0.1])
         # platter-rotation geometry flags (collectdataPoke.py:411-428): the
         # left gripper holds the object platter; rotating its wrist between
         # pokes lands each poke on a fresh spot
@@ -244,17 +266,27 @@ class CollectData:
         self.collisionTimeForce = 10000
         self.zeroData()
 
-    def saveData(self, batch=-1):
+    def saveData(self, iteration=-1, batch=-1):
+        """Save the collected batch, or — with ``iteration >= 0`` — only the
+        most recent poke sequence (collectdataPoke.py:218-229: single-
+        sequence files drop the image keys and store the last list entry
+        per stream, filename gains an ``_<iteration>`` segment)."""
         filename = os.path.join(
             self.dataDir,
-            "newdata_%s_%dseqs%s" % (
+            "newdata_%s_%dseqs%s%s" % (
                 self.objectName, self.sequencesPerObject,
+                "_%d" % iteration if iteration >= 0 else "",
                 "_batchof%d_%d" % (self.saveBatchSize, batch)
                 if batch >= 0 else ""),
         )
+        if iteration < 0:
+            data = self.dataAll
+        else:
+            data = {key: value[-1] for key, value in self.dataAll.items()
+                    if key not in ("objectImage", "images")}
         os.makedirs(self.dataDir, exist_ok=True)
         with open(filename + ".pkl", "wb") as f:
-            pickle.dump(self.dataAll, f, pickle.HIGHEST_PROTOCOL)
+            pickle.dump(data, f, pickle.HIGHEST_PROTOCOL)
         return filename + ".pkl"
 
     def reheat(self, target=55.0, tol=0.5, timeout=120.0):
@@ -323,14 +355,42 @@ class CollectData:
 
     # -- poke loop (collectdataPoke.py:245-408) ------------------------------
 
-    def performInteraction(self, init_right_pos=(0.495, -0.1, 0.08),
-                           init_right_rpy=(0.0, 0.0, np.pi / 2.0),
+    def _random_start_pos(self, rng):
+        """Per-poke start-position randomization over the object's geometry
+        (collectdataPoke.py:374-379): vertical pokes scatter over the
+        object's top face (one-sided in x for curved surfaces), flat-platter
+        pokes scatter across width and height, tall objects scatter along
+        height only."""
+        base = np.copy(self.initRightPos)
+        if self.vertical:
+            dx = (rng.uniform(-self.width / 2.0, self.width / 2.0)
+                  if not self.curvedsurface else rng.uniform(0, self.width))
+            return base + np.array([dx, rng.uniform(-self.length / 2.0,
+                                                    self.length / 2.0), 0.0])
+        if self.flat or self.quarterflat:
+            return base + np.array(
+                [rng.uniform(-self.width / 2.0, self.width / 2.0), 0.0,
+                 rng.uniform(-0.01, self.height - 0.01)])
+        if self.height > 0:
+            return base + np.array(
+                [0.0, 0.0, rng.uniform(-0.01, self.height - 0.01)])
+        return base
+
+    def performInteraction(self, init_right_pos=None, init_right_rpy=None,
                            rng=None):
         rng = rng or np.random
-        start_pos = np.array(init_right_pos, float)
-        self.control.moveGripperTo(start_pos, init_right_rpy, timeout=0.5,
+        if init_right_pos is not None:  # test/override hook
+            self.initRightPos = np.array(init_right_pos, float)
+        if init_right_rpy is not None:
+            self.initRightRPY = np.array(init_right_rpy, float)
+        start_pos = np.copy(self.initRightPos)
+        self.control.moveGripperTo(start_pos, self.initRightRPY, timeout=0.5,
                                    wait=True, rightArm=True)
+        self.control.moveGripperTo(self.initLeftPos, rightArm=False)
         if self.control.world is not None:
+            # the object surface is anchored to the NOMINAL start: per-poke
+            # randomization moves the start across the surface, not the
+            # surface itself
             self.control.world.set_start(start_pos)
 
         self.reheat()
@@ -343,9 +403,12 @@ class CollectData:
         if self.verbose:
             print("Press enter at any point to pause the program")
         index = 2 if self.vertical else 1
+        # poke travel grows with the object's extent along the poke axis
+        # (collectdataPoke.py:320: 0.1+length horizontal, 0.1+height down)
         axis_delta = np.zeros(3)
-        axis_delta[index] = (self.pokeDistance if not self.vertical
-                             else -self.pokeDistance)
+        axis_delta[index] = (self.pokeDistance + self.length
+                             if not self.vertical
+                             else -(self.pokeDistance + self.height))
         saved = []
 
         i = self.startCount
@@ -354,20 +417,32 @@ class CollectData:
             self.beginNewDataSequence()
             motiontime = rng.uniform(1.5, 2.5)
             self.startTime = self.clock.now()
-            self.control.moveGripperTo(start_pos + axis_delta, init_right_rpy,
+            self.control.moveGripperTo(start_pos + axis_delta,
+                                       self.initRightRPY,
                                        timeout=motiontime, wait=False,
                                        rightArm=True)
             self.recording = True
             self.statePublisher("start")
 
-            # spin until contact or timeout (:316,329-342)
+            # spin until contact or timeout (:316,329-342). endCriteria also
+            # stops when the gripper closes to within 4 cm of the left
+            # gripper along the poke axis (:316,331): a soft object that
+            # never crosses 1 N ends on position, not the 7 s timeout.
             while True:
                 force = self.RGripRFingerForce
+                right_pos, _ = self.control.getGripperPosition(rightArm=True)
                 if (force[3] > 1 or force[4] > 1
+                        or abs(right_pos[index]
+                               - self.initLeftPos[index]) < 0.04
                         or self.collisionTimeTemp != 10000
                         or self.clock.now() - self.startTime > 7):
                     break
                 self.clock.sleep(1.0 / self.hz)
+            # small settle push past the stop point (:333-337)
+            push = np.zeros(3)
+            push[index] = 0.01 if not self.vertical else -0.01
+            self.control.moveGripperTo(right_pos + push, self.initRightRPY,
+                                       timeout=0.5, wait=False, rightArm=True)
 
             self.statePublisher("contact")
             self.collisionTimeForce = self.clock.now() - self.startTime
@@ -416,9 +491,11 @@ class CollectData:
                         print("Iteration %d predicted material: %s"
                               % (i, pred))
 
-            # retreat, rotate the platter, and reheat (:377-399)
-            self.control.moveGripperTo(start_pos, init_right_rpy, timeout=1.0,
-                                       wait=True, rightArm=True)
+            # retreat to a freshly randomized start over the object's
+            # geometry, rotate the platter, and reheat (:374-399)
+            start_pos = self._random_start_pos(rng)
+            self.control.moveGripperTo(start_pos, self.initRightRPY,
+                                       timeout=1.0, wait=True, rightArm=True)
             self._rotate_after(i)
             if (i + 1) % self.saveBatchSize == 0:
                 saved.append(self.saveData(batch=(i + 1) // self.saveBatchSize))

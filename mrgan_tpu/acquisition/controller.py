@@ -134,7 +134,13 @@ class SimWorld(threading.Thread):
     (index 2) for vertical, like the reference's endCriteria index."""
 
     def __init__(self, bus_address, clock, thermal_dev, mic_dev,
-                 material="plastic", surface_offset=0.07, axis=1, seed=0):
+                 material="plastic", surface_offset=0.05, axis=1, seed=0):
+        # surface_offset places the object surface 5 cm into the poke travel:
+        # stiff materials cross 1 N before the orchestrator's position stop
+        # (|pos - initLeftPos| < 0.04, collectdataPoke.py:316) while soft
+        # ones (fabric: ~17 mm penetration to reach 1 N) end on position,
+        # matching the real rig's geometry where the object face sits
+        # more than 4 cm proud of the left gripper.
         super().__init__(daemon=True)
         self.clock = clock
         self.client = BusClient(bus_address)
@@ -251,6 +257,7 @@ class SimController:
         self.left_rpy = np.zeros(3)
         self.wrist_angle = 0.0
         self._movers = []
+        self._goal_gen = 0  # actionlib semantics: a new goal preempts
         self.set_gains(gain_profile)
 
     def set_gains(self, profile):
@@ -285,11 +292,13 @@ class SimController:
 
         start = np.copy(self.right_pos)
         t0 = self.clock.now()
+        self._goal_gen += 1
+        gen = self._goal_gen
 
         def mover():
             act = np.copy(start)
             last = t0
-            while True:
+            while self._goal_gen == gen:  # preempted by a newer goal
                 now = self.clock.now()
                 f = min((now - t0) / max(timeout, 1e-6), 1.0)
                 setp = start + f * (position - start)

@@ -96,7 +96,10 @@ def main(argv=None):
         rotateonce=args.rotateonce, handle=args.handle,
         neverrotate=args.neverrotate, classifier=classifier,
         capture_images=not args.no_camera,
-        per_poke_images=args.per_poke_images)
+        per_poke_images=args.per_poke_images,
+        width=args.width, length=args.length, height=args.height,
+        height_offset=args.heightoffset, init_width=args.initwidth,
+        curvedsurface=args.curvedsurface)
     try:
         saved = collector.performInteraction(rng=np.random)
         print("Saved:", saved)

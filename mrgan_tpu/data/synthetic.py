@@ -241,6 +241,7 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
         return float(np.exp(_OBJECT_SPREADS[key] * hardness * rng.randn()))
 
     out = {}
+    obj_counter = 0
     for material in MATERIALS:
         drop, tau, stiff, f_res, decay, amp = _MATERIAL_PHYSICS[material]
         objects = {}
@@ -335,39 +336,58 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # (v-free). Many labels can combine/deconfound them; a handful
             # cannot — that asymmetry shapes the label-efficiency curve.
             s_eff = float(np.clip(o_stiff, 0.0, 1.1))
-            # contact-trigger latency (round-3b): the force channel's
-            # collision detection reports contact a poke-random few tens of
-            # ms late (gauge DSP buffering + threshold crossing on a noisy
-            # rise), so the recorded window starts misaligned relative to
-            # the impact transient. A 0.1-0.2 s window is then mostly the
-            # misaligned spike/ramp (published Force @0.1 s = 70.9 %,
-            # paperplotly.py:51), while >=1 s windows keep the creep and
-            # ring-down cues — time CONSTANTS are shift-invariant. Seeded
-            # off the object's stiffness draw, not the main stream, so the
-            # temperature and audio channels stay bit-identical to the
-            # round-3 generator.
-            srng = np.random.RandomState(int(o_stiff * 1e7) % (2 ** 31 - 1))
+            # contact-trigger latency (round-3b, sign fixed round 4): the
+            # force channel's collision detection reports contact a
+            # poke-random few tens of ms LATE (gauge DSP buffering +
+            # threshold crossing on a noisy rise), so in window coordinates
+            # the impact transient sits at -lag — the same convention as the
+            # mic channel's ``tc = t_c + lat`` below and the reference's
+            # windows around the DETECTED impactTime (processdata.py:55).
+            # A 0.1-0.2 s window is then mostly the misaligned spike/ramp
+            # (published Force @0.1 s = 70.9 %, paperplotly.py:51), while
+            # >=1 s windows keep the creep and ring-down cues — time
+            # CONSTANTS are shift-invariant.
+            # Seeded off the object's stiffness draw MIXED with a running
+            # per-object counter (not the main stream, so the temperature
+            # and audio draws are unperturbed; the counter keeps equal
+            # stiffness draws from yielding identical jitter sequences).
+            srng = np.random.RandomState(
+                (int(o_stiff * 1e7) + 1000003 * obj_counter) % (2 ** 31 - 1))
+            obj_counter += 1
             # trigger latency is mostly a fixed property of the object's
             # rise shape (threshold crossing on ITS ramp) — consistent
             # across pokes, so the model can align around it — plus a small
-            # poke-random detection jitter that smears sub-window alignment
-            lag = np.abs(0.020 + 0.020 * srng.randn()) \
-                + np.abs(0.006 * srng.randn(p, 1))
-            ct_f = np.maximum(t_ft[None, :] - lag, 0.0)
+            # poke-random detection jitter that smears sub-window alignment.
+            # Scaled by hardness so hardness=0 collapses the misalignment
+            # like every other poke nuisance (docstring contract).
+            # poke jitter is kept sub-sample-scale (8 ms at 100 Hz): larger
+            # values decohere the ring-down phase across pokes (16 ms x the
+            # ~20 Hz contact ring ~ 2 rad) and destroy the LONG-window
+            # hard-cluster cue, flattening the published 0.2 -> 1 s rise
+            # (hardware probe: @1 s fell to 79.8 vs published 86.9 at 16 ms)
+            lag = hardness * (np.abs(0.020 + 0.020 * srng.randn())
+                              + np.abs(0.008 * srng.randn(p, 1)))
+            ct_f = np.maximum(t_ft[None, :] + lag, 0.0)
             peak = (3.0 + 4.0 * o_stiff) * v * q**0.3 \
                 * (1 + 0.09 * rng.randn(p, 1))
             # impact spike: impulse transient proportional to velocity ALONE
             # (stiffness-independent) — an explicit v readout that a richly-
             # labeled model can use to deconfound the peak, but 10 labels per
-            # class cannot
+            # class cannot. Gated on the contact mask so pre-contact samples
+            # read baseline+noise only (no full-amplitude pedestal exposing
+            # v before the impact).
+            on = (t_ft[None, :] > -lag)  # impact sits at -lag (see above)
             spike = 2.5 * v * np.exp(-ct_f / 0.02) \
-                * (1 + 0.15 * rng.randn(p, 1))
+                * (1 + 0.15 * rng.randn(p, 1)) * on
             rise = (0.012 + 0.10 * (1.0 - s_eff)) \
                 * np.exp(0.26 * hardness * rng.randn(p, 1))
             ramp = 1.0 - np.exp(-ct_f / np.maximum(rise, 1e-3))
             creep_amt = np.clip(0.5 * (1.0 - s_eff), 0.0, 0.6) \
                 * (1 + 0.10 * hardness * rng.randn(p, 1))
-            t_creep = 0.9 * np.exp(0.15 * hardness * rng.randn())  # per object
+            # fast enough that a 1 s window reads most of the relaxation
+            # (published Force keeps rising 75.1 -> 86.9 over 0.2 -> 1 s and
+            # is flat after, paperplotly.py:50) but a 0.2 s window sees <30%
+            t_creep = 0.5 * np.exp(0.15 * hardness * rng.randn())  # per object
             plateau = 1.0 - creep_amt * (1.0 - np.exp(-ct_f / t_creep))
             # contact oscillation: the low-frequency analog of the object's
             # acoustic response (same latent resonance/damping — it is the
@@ -377,7 +397,7 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # ~15 ms (sub-sample at 100 Hz) but their ring-down times differ
             # by hundreds of ms.
             osc = (
-                0.5 * o_stiff * (0.5 + 0.7 * o_amp)
+                0.65 * o_stiff * (0.5 + 0.7 * o_amp)
                 * np.exp(-ct_f / np.maximum(osc_t, 1e-3))
                 * np.sin(2 * np.pi * osc_f * ct_f)
             )
@@ -394,12 +414,11 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # poke-randomly before settling. This corrupts only the first
             # few samples after the (already late) trigger, compounding the
             # short-window penalty without touching >=0.5 s cues.
-            t_set = 0.10 * np.exp(0.25 * srng.randn(p, 1))
-            on = (t_ft[None, :] > lag)  # trigger-gated: quiet pre-contact
+            t_set = 0.14 * np.exp(0.25 * srng.randn(p, 1))
             settle = np.exp(-ct_f / np.maximum(t_set, 1e-3)) * on
-            gain0 = 1.0 + 0.06 * hardness * srng.randn(p, 1) * settle
-            gain1 = 1.0 + 0.06 * hardness * srng.randn(p, 1) * settle
-            wobble = peak * 0.10 * hardness
+            gain0 = 1.0 + 0.09 * hardness * srng.randn(p, 1) * settle
+            gain1 = 1.0 + 0.09 * hardness * srng.randn(p, 1) * settle
+            wobble = peak * 0.14 * hardness
             off0 = wobble * srng.randn(p, 1) * settle
             off1 = wobble * srng.randn(p, 1) * settle
             force0 = f0_sig * gain0 + off0 \

@@ -374,3 +374,123 @@ def test_camera_grab_and_reference_schema_superset():
         assert collector2.grabImage(timeout=0.2) is None
     finally:
         server2.close()
+
+
+def test_geometry_flags_set_pose_and_randomize_starts():
+    """Object-geometry flags drive the initial pose (collectdataPoke.py:45-54)
+    and the per-poke start randomization (:374-379): traces from a wide flat
+    platter land on different spots; curved surfaces poke one-sided in x."""
+    clock = SimClock(50.0)
+    server = BusServer()
+    try:
+        mk = lambda **kw: collect.CollectData(
+            "g", server.address, clock, controller=None, verbose=False, **kw)
+        rng = np.random.RandomState(0)
+
+        # horizontal: length backs the right gripper off, heightoffset
+        # raises the poke line
+        c = mk(length=0.05, height_offset=0.02)
+        assert np.allclose(c.initRightPos, [0.495, -0.15, 0.10])
+        assert np.allclose(c.initLeftPos, [0.5, 0.0, 0.0])
+        # no geometry -> start never moves (reference keeps initRightPos)
+        assert np.allclose(c._random_start_pos(rng), c.initRightPos)
+
+        # flat platter: scatter across width and height
+        c = mk(flat=True, width=0.08, height=0.03)
+        starts = np.array([c._random_start_pos(rng) for _ in range(200)])
+        dx = starts[:, 0] - c.initRightPos[0]
+        dz = starts[:, 2] - c.initRightPos[2]
+        assert np.all(np.abs(dx) <= 0.04) and dx.std() > 0.01
+        assert np.all((dz >= -0.01) & (dz <= 0.02)) and dz.std() > 0.005
+        assert np.allclose(starts[:, 1], c.initRightPos[1])  # poke axis fixed
+
+        # tall object, not flat: height-only scatter
+        c = mk(height=0.04)
+        starts = np.array([c._random_start_pos(rng) for _ in range(200)])
+        assert np.allclose(starts[:, 0], c.initRightPos[0])
+        assert np.all((starts[:, 2] - c.initRightPos[2] >= -0.01)
+                      & (starts[:, 2] - c.initRightPos[2] <= 0.03))
+
+        # vertical: initwidth/height move the start; curved surfaces are
+        # poked one-sided in x (U(0, w) instead of U(-w/2, w/2))
+        c = mk(vertical_movement=True, init_width=0.03, height=0.06,
+               width=0.05, length=0.04, curvedsurface=True)
+        assert np.allclose(c.initRightPos, [0.53, -0.12, 0.08])
+        assert np.allclose(c.initLeftPos, [0.5, -0.1, -0.1])
+        starts = np.array([c._random_start_pos(rng) for _ in range(200)])
+        dx = starts[:, 0] - c.initRightPos[0]
+        dy = starts[:, 1] - c.initRightPos[1]
+        assert np.all((dx >= 0.0) & (dx <= 0.05)) and dx.mean() > 0.015
+        assert np.all(np.abs(dy) <= 0.02)
+        assert np.allclose(starts[:, 2], c.initRightPos[2])  # poke axis fixed
+    finally:
+        server.close()
+
+
+@pytest.mark.slow
+def test_soft_object_ends_on_position_stop(tmp_path):
+    """endCriteria's position-distance clause (collectdataPoke.py:316,331):
+    a fabric poke never crosses the 1 N force threshold, yet the poke ends
+    when the gripper closes to within 4 cm of the left gripper — well before
+    the 7 s timeout — and the sequence still records cleanly."""
+    timescale = 5.0
+    clock = SimClock(timescale)
+    server = BusServer()
+    thermal = serialdev.setup_serial(
+        serialdev.thermal_sim_argv(timescale=timescale))
+    mic = serialdev.setup_serial(
+        serialdev.contactmic_sim_argv(timescale=timescale, rate=2000))
+    temp_pub = publishers.TemperaturePublisher(server.address, clock, thermal)
+    mic_pub = publishers.ContactMicPublisher(server.address, clock, mic)
+    temp_pub.start(); mic_pub.start()
+    world = controller.SimWorld(server.address, clock, thermal, mic,
+                                material="fabric")
+    world.start()
+    control = controller.SimController(world=world, clock=clock,
+                                       gain_profile="grasp")
+    collector = collect.CollectData(
+        "fabric_sheet", server.address, clock, control,
+        sequences_per_object=1, data_dir=str(tmp_path), verbose=False,
+        capture_images=False)
+    try:
+        saved = collector.performInteraction(rng=np.random.RandomState(0))
+    finally:
+        world.stop(); temp_pub.close(); mic_pub.close(); server.close()
+
+    with open(saved[0], "rb") as f:
+        raw = pickle.load(f)
+    forces = np.asarray(raw["RGripRFingerForce"][0])
+    times = np.asarray(raw["RGripRFingerTime"][0])
+    stop_t = raw["collisionTime"][0]
+    # fabric compliance: 1 N needs ~17 mm penetration, more than the
+    # geometry allows before the position stop fired...
+    pre = forces[times <= stop_t]
+    assert pre[:, 3].max() < 1.0 and pre[:, 4].max() < 1.0
+    # ...yet the poke ended long before the 7 s force timeout
+    assert stop_t < 5.0
+    # and the settle push preempted the full poke travel (actionlib goal
+    # replacement): dwell force stays near the stop line, far below the
+    # ~3 N a full-travel push would produce on the fabric spring
+    assert forces[:, 3].max() < 2.0
+
+
+def test_vertical_curved_collect_cli(tmp_path):
+    """The vertical + curved-surface geometry path end-to-end through the
+    collect CLI (reference invocation: collectdataPoke.py -v -cs -w ... )."""
+    from mrgan_tpu.cli import collect as collect_cli
+
+    out = tmp_path / "raw"
+    collect_cli.main([
+        "-n", "metal_dome", "-s", "1", "-v", "-cs",
+        "-w", "0.04", "-l", "0.03", "-ht", "0.05", "-iw", "0.01",
+        "--material", "metal", "--timescale", "10", "--no-camera",
+        "--data-dir", str(out),
+    ])
+    files = list(out.glob("newdata_metal_dome*.pkl"))
+    assert len(files) == 1
+    with open(files[0], "rb") as f:
+        raw = pickle.load(f)
+    assert len(raw["collisionTime"]) == 1
+    # vertical metal poke made real contact: force crossed the threshold
+    forces = np.asarray(raw["RGripRFingerForce"][0])
+    assert forces[:, 3].max() > 1.0 or raw["collisionTime"][0] < 7.0

@@ -10,7 +10,16 @@ judged on (VERDICT round 1, missing #1):
 - rho:  Spearman rank correlation between the regenerated and published
         curves (does the curve RISE where the published one rises?).
 
+With ``--gate`` (VERDICT r3 next #2) the same diagnostics become a CI gate:
+every curve family must satisfy the committed thresholds in
+``tools/parity_thresholds.json`` (per-family min rho, span relative
+tolerance, max |delta|; global mean signed delta) or the tool exits 1 —
+so a calibration regression (like round 2's temperature rho of -0.39, or
+round 3's +2.1-point global positive bias) fails the hardware queue loudly
+instead of surviving as prose.
+
 Usage: python tools/compare_published.py [--artifacts artifacts]
+           [--gate] [--thresholds tools/parity_thresholds.json]
 """
 
 import argparse
@@ -35,53 +44,100 @@ def _spearman(a, b):
     return float((ca * cb).sum() / d) if d else float("nan")
 
 
-def _report(curves, published, pub_x, label):
-    print(f"\n== {label} ==")
-    any_missing = False
+def collect(curves, published, pub_x, family):
+    """One record per published curve with the shape diagnostics the gate
+    evaluates. Curves with no regenerated data record ``missing=True``."""
+    records = []
     for name, pub in published.items():
+        rec = {"family": family, "name": name, "missing": True}
         got = curves.get(name)
-        if not got:
-            print(f"  {name:35s} MISSING")
-            any_missing = True
+        if got:
+            x, acc = got
+            pub_map = dict(zip(pub_x(name), pub))
+            pairs = [(xx, aa, pub_map[xx]) for xx, aa in zip(x, acc)
+                     if xx in pub_map]
+            if pairs:
+                xs, accs, pubs = zip(*pairs)
+                deltas = np.asarray(accs) - np.asarray(pubs)
+                rec.update(
+                    missing=False, points=list(zip(xs, accs, pubs)),
+                    n=len(pairs), mean_abs_delta=float(np.abs(deltas).mean()),
+                    mean_signed_delta=float(deltas.mean()),
+                    max_abs_delta=float(np.abs(deltas).max()),
+                    span=float(max(accs) - min(accs)),
+                    pub_span=float(max(pubs) - min(pubs)),
+                    rho=_spearman(accs, pubs))
+        records.append(rec)
+    return records
+
+
+def report(records, label):
+    print(f"\n== {label} ==")
+    for rec in records:
+        if rec["missing"]:
+            print(f"  {rec['name']:35s} MISSING")
             continue
-        x, acc = got
-        pub_map = dict(zip(pub_x(name), pub))
-        pairs = [(xx, aa, pub_map[xx]) for xx, aa in zip(x, acc)
-                 if xx in pub_map]
-        if not pairs:
-            print(f"  {name:35s} no overlapping grid points")
-            any_missing = True
-            continue
-        _, accs, pubs = zip(*pairs)
-        dd = np.abs(np.asarray(accs) - np.asarray(pubs))
-        print(f"  {name:35s} |d|={dd.mean():5.1f}  "
-              f"span={max(accs) - min(accs):5.1f} (pub {max(pubs) - min(pubs):5.1f})  "
-              f"rho={_spearman(accs, pubs):+.2f}")
-        for xx, aa, pp in pairs:
+        print(f"  {rec['name']:35s} |d|={rec['mean_abs_delta']:5.1f}  "
+              f"span={rec['span']:5.1f} (pub {rec['pub_span']:5.1f})  "
+              f"rho={rec['rho']:+.2f}")
+        for xx, aa, pp in rec["points"]:
             print(f"      x={xx:<6g} got={aa:5.1f}  pub={pp:5.1f}  "
                   f"d={aa - pp:+5.1f}")
-    return not any_missing
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--artifacts", default="artifacts")
-    args = ap.parse_args()
+def evaluate_gate(records, thresholds):
+    """Return a list of human-readable violations (empty = gate passes)."""
+    bad = []
+    weighted = []  # (signed delta sum, n) across all families
+    for rec in records:
+        th = thresholds["families"].get(rec["family"])
+        if th is None:
+            continue
+        tag = f"{rec['family']}/{rec['name']}"
+        if rec["missing"]:
+            bad.append(f"{tag}: no regenerated curve")
+            continue
+        weighted.append((rec["mean_signed_delta"] * rec["n"], rec["n"]))
+        if rec["rho"] < th["min_rho"]:
+            bad.append(f"{tag}: rho {rec['rho']:+.2f} < {th['min_rho']}")
+        tol = th["span_rel_tol"] * rec["pub_span"]
+        if abs(rec["span"] - rec["pub_span"]) > tol:
+            bad.append(
+                f"{tag}: span {rec['span']:.1f} outside "
+                f"{rec['pub_span']:.1f} ± {tol:.1f}")
+        if rec["max_abs_delta"] > th["max_abs_delta"]:
+            bad.append(f"{tag}: max|d| {rec['max_abs_delta']:.1f} > "
+                       f"{th['max_abs_delta']}")
+    gth = thresholds.get("global", {})
+    if weighted and "max_mean_signed_delta" in gth:
+        total = sum(n for _, n in weighted)
+        bias = sum(s for s, _ in weighted) / total
+        if abs(bias) > gth["max_mean_signed_delta"]:
+            bad.append(f"global: mean signed delta {bias:+.2f} exceeds "
+                       f"±{gth['max_mean_signed_delta']} "
+                       "(synthetic task globally easier/harder than real)")
+    return bad
 
-    t1 = os.path.join(args.artifacts, "t1_sweep.jsonl")
+
+def gather_records(artifacts):
+    records = []
+    t1 = os.path.join(artifacts, "t1_sweep.jsonl")
     if os.path.exists(t1):
-        _report(plots.curves_from_checkpoint(t1, table=1), plots.TABLE1,
-                lambda name: plots.TABLE1_X, "Table 1 (GAN, % labeled)")
+        recs = collect(plots.curves_from_checkpoint(t1, table=1),
+                       plots.TABLE1, lambda name: plots.TABLE1_X, "table1")
+        report(recs, "Table 1 (GAN, % labeled)")
+        records += recs
 
-    t5 = os.path.join(args.artifacts, "t5_sweep.jsonl")
+    t5 = os.path.join(artifacts, "t5_sweep.jsonl")
     if os.path.exists(t5):
-        _report(
+        recs = collect(
             plots.curves_from_checkpoint(t5, table=5), plots.TABLE5,
             lambda name: (plots.TABLE5_X_CONTACT if name == "Contact mic"
-                          else plots.TABLE5_X),
-            "Table 5 (GAN, window duration)")
+                          else plots.TABLE5_X), "table5")
+        report(recs, "Table 5 (GAN, window duration)")
+        records += recs
 
-    t24 = os.path.join(args.artifacts, "t24_nn.jsonl")
+    t24 = os.path.join(artifacts, "t24_nn.jsonl")
     if os.path.exists(t24) and os.path.exists(t1):
         # published table 2 (MLP baseline) exists only for the force+temp
         # and F+T+mic rows quoted in BASELINE.md; compare the headline
@@ -99,6 +155,32 @@ def main():
             flag = "OK " if g > m else "INV"
             print(f"  {flag} {name:35s} gan={g:5.1f}  mlp={m:5.1f}  "
                   f"gap={g - m:+5.1f}")
+    return records
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--artifacts", default="artifacts")
+    ap.add_argument("--gate", action="store_true",
+                    help="exit 1 unless every curve family satisfies the "
+                         "committed shape thresholds")
+    ap.add_argument("--thresholds",
+                    default=os.path.join(os.path.dirname(__file__),
+                                         "parity_thresholds.json"))
+    args = ap.parse_args()
+
+    records = gather_records(args.artifacts)
+
+    if args.gate:
+        with open(args.thresholds) as f:
+            thresholds = json.load(f)
+        violations = evaluate_gate(records, thresholds)
+        print("\n== Gate ==")
+        if violations:
+            for v in violations:
+                print(f"  FAIL {v}")
+            sys.exit(1)
+        print(f"  PASS ({len(records)} curve families within thresholds)")
 
 
 if __name__ == "__main__":
