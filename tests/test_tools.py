@@ -62,8 +62,10 @@ def test_summarize_build_sections(fake_artifacts):
     from tools import summarize_regen
 
     block = summarize_regen.build(str(fake_artifacts))
-    # per-table summary: 7 cells done, 3.5 min wall; pending tables marked
-    assert "| Table 1 (GAN, 7 modalities × 7 %s) | 7 | 3.5 min |" in block
+    # per-table summary: 7 of the 49-cell grid present -> must self-announce
+    # as incomplete (VERDICT r3 weak #2: a partial Table 3 read as complete)
+    assert ("| Table 1 (GAN, 7 modalities × 7 %s) | **7/49 INCOMPLETE** "
+            "| 3.5 min |") in block
     assert "pending" in block  # t3/t5 etc. have no artifacts
     # curve-shape diagnostics for the one modality present
     assert "Table 1 accuracy" in block
@@ -76,6 +78,24 @@ def test_summarize_build_sections(fake_artifacts):
     # scaling table includes healthy widths and flags the crashed one
     assert "| 6 | 3400 | 567 |" in block
     assert "(widths [12] crashed the worker" in block
+
+
+def test_summarize_complete_grid_prints_bare_count(tmp_path):
+    sys.path.insert(0, REPO)
+    from tools import summarize_regen
+
+    art = tmp_path / "artifacts"
+    art.mkdir()
+    t6 = [
+        {"cell": {"model": "gan", "table": 6, "modality": m, "percent": 4,
+                  "percent_unlabeled": u},
+         "result": [0.20 - 0.0005 * u]}
+        for m in (2, 5) for u in (0, 8, 16, 32, 48, 64, 96)
+    ]
+    _write_jsonl(art / "t6_sweep.jsonl", t6)
+    block = summarize_regen.build(str(art))
+    assert "| Table 6 (GAN, unlabeled sweep) | 14 | — |" in block
+    assert "INCOMPLETE" not in block
 
 
 def test_summarize_splice_idempotent(fake_artifacts, tmp_path):
@@ -105,3 +125,99 @@ def test_summarize_write_requires_marker(fake_artifacts, tmp_path):
     proc = subprocess.run(cmd, capture_output=True, cwd=REPO, timeout=120)
     assert proc.returncode != 0
     assert status.read_text() == "no markers here\n"  # untouched on failure
+
+
+GATE_TOOL = os.path.join(REPO, "tools", "compare_published.py")
+
+# the published Table-1 accuracy grids (reference paperplotly.py:17-23),
+# keyed by modality index like the sweep checkpoints
+_PUB_T1 = {
+    0: (62.1, 66.2, 70.6, 74.3, 79.1, 85.4, 87.9),
+    1: (53.8, 58.2, 62.6, 66.6, 71.2, 78.9, 82.1),
+    2: (74.3, 81.4, 85.6, 88.5, 90.2, 94.2, 95.3),
+    3: (42.9, 50.6, 58.8, 65.1, 71.5, 79.8, 83.1),
+    4: (52.4, 62.8, 70.7, 76.5, 81.9, 89.5, 92.2),
+    5: (62.8, 75.4, 85.6, 89.4, 92.0, 95.4, 96.2),
+    6: (58.2, 66.9, 74.4, 79.7, 84.3, 89.9, 91.8),
+}
+_T1_PERCENTS = (1, 2, 4, 8, 16, 50, 100)
+
+
+def _t1_artifacts(tmp_path, transform=lambda m, p, acc: acc):
+    art = tmp_path / "artifacts"
+    art.mkdir(exist_ok=True)
+    recs = []
+    for m, accs in _PUB_T1.items():
+        for p, acc in zip(_T1_PERCENTS, accs):
+            a = transform(m, p, acc)
+            recs.append({"cell": {"model": "gan", "table": 1,
+                                  "modality": m, "percent": p},
+                         "result": [1.0 - a / 100.0]})
+    _write_jsonl(art / "t1_sweep.jsonl", recs)
+    return art
+
+
+def _run_gate(art):
+    return subprocess.run(
+        [sys.executable, GATE_TOOL, "--artifacts", str(art), "--gate"],
+        capture_output=True, text=True)
+
+
+def test_parity_gate_green_on_published_curves(tmp_path):
+    """The curve-shape gate (VERDICT r3 next #2) passes when the regenerated
+    Table-1 curves equal the published ones."""
+    res = _run_gate(_t1_artifacts(tmp_path))
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "PASS" in res.stdout
+
+
+def test_parity_gate_catches_saturation_and_bias(tmp_path):
+    """A saturated curve family (the round-2 temperature failure: span ~5,
+    rho negative) and a global positive bias (the round-3 failure) must each
+    fail the gate with a pointed message."""
+    # temperature flattens at 80% (saturation)
+    art = _t1_artifacts(
+        tmp_path, lambda m, p, acc: 80.0 + 0.01 * p if m == 1 else acc)
+    res = _run_gate(art)
+    assert res.returncode == 1
+    assert "table1/Temperature" in res.stdout and "span" in res.stdout
+
+    # every curve +4 points (global easy bias); shapes all still correct
+    art = _t1_artifacts(tmp_path, lambda m, p, acc: min(acc + 4.0, 99.9))
+    res = _run_gate(art)
+    assert res.returncode == 1
+    assert "mean signed delta" in res.stdout
+
+
+def test_parity_gate_flags_missing_family(tmp_path):
+    """An incomplete regen (round 3's 8-of-10 Table 3 analog: missing cells)
+    cannot silently pass: a family with no regenerated curve is a
+    violation."""
+    art = _t1_artifacts(tmp_path)
+    # drop every Force cell
+    lines = [l for l in (art / "t1_sweep.jsonl").read_text().splitlines()
+             if '"modality": 0' not in l]
+    (art / "t1_sweep.jsonl").write_text("\n".join(lines) + "\n")
+    res = _run_gate(art)
+    assert res.returncode == 1
+    assert "no regenerated curve" in res.stdout
+
+
+@pytest.mark.slow
+def test_parity_gate_on_reduced_sweep(tmp_path):
+    """End-to-end plumbing: a real (tiny) Table-1 sweep through the
+    production CLI writes a checkpoint the gate can evaluate. The reduced
+    sweep is far from the published accuracies, so the gate must FAIL with
+    per-family diagnostics — proving a bad regen cannot slip through the
+    hardware queue's final stage."""
+    ckpt = tmp_path / "t1_sweep.jsonl"
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "mr_gan.py"), "--tables", "1",
+         "--synthetic", "--synthetic-pokes", "6", "--epochs", "2",
+         "--seed", "0", "--no-mesh", "--checkpoint", str(ckpt)],
+        check=True, capture_output=True, text=True, cwd=REPO)
+    res = _run_gate(tmp_path)
+    assert res.returncode == 1
+    # all 7 Table-1 families were swept and evaluated (not missing)
+    assert "no regenerated curve" not in res.stdout
+    assert "FAIL" in res.stdout

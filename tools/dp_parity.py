@@ -1,0 +1,131 @@
+#!/usr/bin/env python3
+"""Full-scale DP-vs-single-device accuracy parity (VERDICT r3 next #8).
+
+The data-parallel production path (parallel/spmd.py::train_gan_cell_dp) is
+epoch-parity-tested at toy scale and dryrun-compiled at 8 devices; this tool
+sweeps ONE FULL-SCALE Table-1 cell (modality 2 = force+temperature,
+7200 pokes x ~1200 features, 6 folds x 100 epochs) through BOTH routes and
+commits the per-fold errors side by side, so the DP route is sweep-proven at
+the real workload, not just dryrun-proven:
+
+  --side single   the fused single-device trainer (run on the real chip)
+  --side dp       run_gan_cell(..., mesh) with a ("cell"=1, "data"=N) mesh
+                  on the virtual CPU mesh. The protocol batch size (50,
+                  reference mr_gan.py:61) must divide the data axis, so use
+                  N=10 (not the test suite's 8):
+                   JAX_PLATFORMS=cpu
+                   XLA_FLAGS=--xla_force_host_platform_device_count=10
+  --compare       read both artifacts and assert parity
+
+Parity bar: DP draws every stochastic tensor globally and slices per shard,
+so the TRAJECTORY matches single-device up to f32 reduction order and
+backend numerics (TPU bf16-MXU vs CPU f32 dots); over 100 chaotic GAN epochs
+those amplify, so the honest invariant is the PROTOCOL statistic — per-fold
+test error within a few points and identical cell means within 1.5 points
+(the published tables themselves quote fold means over exactly this
+protocol, reference mr_gan.py:229-247).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+
+def run_side(side, epochs, percent):
+    import jax
+
+    from mrgan_tpu.data import mreo
+    from mrgan_tpu.parallel import mesh as mesh_util
+    from mrgan_tpu.train import gan, protocol
+    from mrgan_tpu.utils import compile_cache
+
+    compile_cache.enable()
+    cfg = gan.GanConfig(epochs=epochs, pad_min=1280)
+    x, y = mreo.load_features(modalities=2, forcetemp_time=4.0,
+                              contactmic_time=0.2, synthetic_seed=0)
+    mesh = None
+    if side == "dp":
+        n_dev = len(jax.devices())
+        if n_dev < 2 or cfg.batch_size % n_dev:
+            sys.exit(f"dp side needs >1 device with batch_size "
+                     f"{cfg.batch_size} divisible by the device count "
+                     f"(got {n_dev}; set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                     "--xla_force_host_platform_device_count=10)")
+        mesh = mesh_util.make_mesh(n_cell=1, n_data=n_dev)
+    t0 = time.time()
+    errors = protocol.run_gan_cell(x, y, percent, cfg=cfg, seed=0, mesh=mesh)
+    wall = time.time() - t0
+    rec = {
+        "side": side,
+        "platform": jax.devices()[0].platform,
+        "n_devices": len(jax.devices()),
+        "modality": 2, "percent": percent, "epochs": epochs,
+        "shape": list(np.asarray(x).shape),
+        "fold_errors": [round(float(e), 6) for e in np.asarray(errors)],
+        "mean_acc": round(100.0 * (1.0 - float(np.mean(errors))), 3),
+        "wall_s": round(wall, 1),
+    }
+    os.makedirs(ART, exist_ok=True)
+    path = os.path.join(ART, f"dp_parity_{side}.json")
+    with open(path, "w") as f:
+        json.dump(rec, f, indent=1)
+    print(json.dumps(rec))
+    return rec
+
+
+def compare(max_fold_delta, max_mean_delta):
+    recs = {}
+    for side in ("single", "dp"):
+        path = os.path.join(ART, f"dp_parity_{side}.json")
+        if not os.path.exists(path):
+            sys.exit(f"missing {path} — run --side {side} first")
+        with open(path) as f:
+            recs[side] = json.load(f)
+    s, d = recs["single"], recs["dp"]
+    for k in ("modality", "percent", "epochs", "shape"):
+        if s[k] != d[k]:
+            sys.exit(f"sides ran different cells: {k} {s[k]} vs {d[k]}")
+    fe_s, fe_d = np.asarray(s["fold_errors"]), np.asarray(d["fold_errors"])
+    worst = float(np.max(np.abs(fe_s - fe_d)))
+    mean_delta = abs(s["mean_acc"] - d["mean_acc"])
+    ok = worst <= max_fold_delta and mean_delta <= max_mean_delta
+    print(json.dumps({
+        "single": {"acc": s["mean_acc"], "platform": s["platform"],
+                   "wall_s": s["wall_s"]},
+        "dp": {"acc": d["mean_acc"], "platform": d["platform"],
+               "devices": d["n_devices"], "wall_s": d["wall_s"]},
+        "worst_fold_error_delta": round(worst, 4),
+        "mean_acc_delta_points": round(mean_delta, 3),
+        "verdict": "PARITY" if ok else "FAIL",
+    }))
+    return 0 if ok else 1
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=["single", "dp"])
+    ap.add_argument("--compare", action="store_true")
+    ap.add_argument("--epochs", type=int, default=100)
+    ap.add_argument("--percent", type=float, default=100)
+    ap.add_argument("--max-fold-delta", type=float, default=0.04,
+                    help="worst per-fold |error| gap (protocol statistic)")
+    ap.add_argument("--max-mean-delta", type=float, default=1.5,
+                    help="cell mean accuracy gap in points")
+    args = ap.parse_args()
+    if args.compare:
+        sys.exit(compare(args.max_fold_delta, args.max_mean_delta))
+    if not args.side:
+        sys.exit("need --side or --compare")
+    run_side(args.side, args.epochs, args.percent)
+
+
+if __name__ == "__main__":
+    main()

@@ -105,19 +105,26 @@ def build(artifacts):
     L = []
 
     # --- per-table regen summary -------------------------------------
+    # Expected cell counts are the full sweep grids (cli/tables.py; the
+    # reference protocols): a short count is printed as "n/N INCOMPLETE" so
+    # a partial regen can never read as a finished one (VERDICT r3 weak #2 —
+    # round 3 reported Table 3 complete at 8/10 cells).
     tables = [
-        ("Table 1 (GAN, 7 modalities × 7 %s)", "t1_sweep", "t1_metrics"),
-        ("Table 3 (GAN, LOO over 72 objects)", "t3_sweep", "t3_metrics"),
-        ("Table 5 (GAN, duration sweep)", "t5_sweep", "t5_metrics"),
-        ("Table 6 (GAN, unlabeled sweep)", "t6_sweep", "t6_metrics"),
-        ("Tables 2/4 (MLP baseline)", "t24_nn", "t24_nn_metrics"),
-        ("Table 2 (SVM baseline)", "t2_svm", "t2_svm_metrics"),
+        ("Table 1 (GAN, 7 modalities × 7 %s)", "t1_sweep", "t1_metrics", 49),
+        ("Table 3 (GAN, LOO over 72 objects)", "t3_sweep", "t3_metrics", 10),
+        ("Table 5 (GAN, duration sweep)", "t5_sweep", "t5_metrics", 28),
+        ("Table 6 (GAN, unlabeled sweep)", "t6_sweep", "t6_metrics", 14),
+        ("Tables 2/4 (MLP baseline)", "t24_nn", "t24_nn_metrics", 14),
+        ("Table 2 (SVM baseline)", "t2_svm", "t2_svm_metrics", 14),
     ]
     L += ["| Sweep | cells done | cell wall |", "|---|---|---|"]
-    for label, sweep, metrics in tables:
+    for label, sweep, metrics, expect in tables:
         n_cells = len(_read_jsonl(os.path.join(artifacts, f"{sweep}.jsonl")))
         wall, _ = _wall(os.path.join(artifacts, f"{metrics}.jsonl"))
-        L.append(f"| {label} | {n_cells or 'pending'} | {_fmt_min(wall)} |")
+        done = ("pending" if not n_cells
+                else str(n_cells) if n_cells == expect
+                else f"**{n_cells}/{expect} INCOMPLETE**")
+        L.append(f"| {label} | {done} | {_fmt_min(wall)} |")
 
     # --- curve shapes vs published ------------------------------------
     t1_rows = _curve_rows(os.path.join(artifacts, "t1_sweep.jsonl"), 1,
