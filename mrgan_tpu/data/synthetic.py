@@ -67,7 +67,12 @@ _MATERIAL_PHYSICS = {
 #   signal, so the duration curve rises (published 63.3 -> 84.6%) instead of
 #   saturating.
 _OBJECT_SPREADS = {
-    "drop": 0.45, "tau": 0.32, "stiff": 0.15, "f0": 0.26, "decay": 0.28,
+    # iter-3: stiffness object spread 0.15 -> 0.10 — the published force
+    # curve jumps 62.1 -> 70.4 between 1 and 2 % labels, i.e. 20 labels d
+    # class already cover the class's object variety, so force difficulty
+    # must live in PER-POKE nuisances (peak noise/settle wobble), not in
+    # object-coverage (which penalizes only the lowest-label cells)
+    "drop": 0.45, "tau": 0.32, "stiff": 0.10, "f0": 0.26, "decay": 0.28,
     "amp": 0.30,
 }
 _POKE_SIGMA_Q = 0.24   # contact-quality lognormal sigma
@@ -81,6 +86,10 @@ _POKE_SIGMA_V = 0.17   # impact-velocity lognormal sigma
 # published duration curves' low end — while windows >> the lag are
 # unaffected.
 _TEMP_SENSOR_TAU = 0.028
+# (iter-3b tried 0.042 here; the slower readout attenuates the ~20 Hz
+# contact ring — the hard-cluster cue — at EVERY window length, crushing
+# the 4 s Table-1 cells (-11 @1 % on hardware), so short-window difficulty
+# lives in the settle transient below instead)
 _FORCE_SENSOR_TAU = 0.030
 
 # Round-3 temperature redesign (VERDICT r2 missing #1): the round-2 temp
@@ -294,21 +303,27 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # drift) spreads wider per object, so a class is a broader union
             # of modes that only long windows + many labels can map — the
             # published Table-1 temperature curve spans 53.8 -> 82.1 %
+            # round-4 iter-3 (full-t1 regen read -5.2 @100 % / +2.5 @1 %
+            # vs published — span compressed from BOTH ends): object-level
+            # thermal-mode spreads widen further (low-label coverage gets
+            # harder) while the per-poke nuisances below shrink (a single
+            # test poke reads its object's mode more faithfully, lifting
+            # the full-label ceiling toward the published 82.1)
             o_wf = float(np.clip(
-                w_base * np.exp(0.40 * hardness * rng.randn()), 0.06, 0.85))
+                w_base * np.exp(0.60 * hardness * rng.randn()), 0.06, 0.85))
             # fast-surface tau mostly inside a 0.1 s window (published T5
             # temp already reads 58.9 % at 0.1 s — round-4 probe at
             # tau_f=0.055 measured 51.3: too slow); the late drift shrinks
             # (round-4 probe: 4 s windows +4.1 too easy)
-            o_tauf = 0.042 * np.exp(0.60 * hardness * rng.randn())
-            o_late = 0.035 * o_drop * np.exp(0.7 * hardness * rng.randn())
+            o_tauf = 0.042 * np.exp(0.80 * hardness * rng.randn())
+            o_late = 0.035 * o_drop * np.exp(0.8 * hardness * rng.randn())
             # thermal coupling depends STRONGLY on contact quality (round-4
             # recalibration: q**0.15 left single pokes too trustworthy — the
             # T1 temperature curve sat +9 above published at 1-4 % labels;
-            # a per-poke ~8 % amplitude nuisance makes one poke
-            # underdetermine the object while thousands still average out)
-            poke_drop = o_drop * q**0.35 * (1 + 0.08 * hardness * rng.randn(p, 1))
-            w_p = np.clip(o_wf + 0.08 * hardness * rng.randn(p, 1), 0.04, 0.9)
+            # a per-poke amplitude nuisance makes one poke underdetermine
+            # the object while thousands still average out)
+            poke_drop = o_drop * q**0.30 * (1 + 0.055 * hardness * rng.randn(p, 1))
+            w_p = np.clip(o_wf + 0.06 * hardness * rng.randn(p, 1), 0.04, 0.9)
             tau_f = np.maximum(
                 o_tauf * (1 + 0.07 * hardness * rng.randn(p, 1)), 0.015)
             tau_s = np.maximum(
@@ -340,11 +355,11 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             for _ in range(2):
                 t_j = rng.uniform(0.0, 0.9 * t_max, (p, 1))
                 gate = rng.rand(p, 1) < 0.50
-                amp_j = 0.045 * poke_drop * rng.randn(p, 1) * gate * hardness
+                amp_j = 0.035 * poke_drop * rng.randn(p, 1) * gate * hardness
                 temp = temp - amp_j * (contact_t > t_j)
             dt = float(t_ft[1] - t_ft[0]) if n_ft > 1 else 0.01
             # slow ambient/convection drift (correlated, ~1 s scale)
-            temp = temp + 1.3 * hardness * _sensor_lag(
+            temp = temp + 1.0 * hardness * _sensor_lag(
                 rng.randn(p, n_ft), 0.8, dt)
             t_sens = _TEMP_SENSOR_TAU * np.exp(0.25 * hardness * rng.randn())
             temp = _sensor_lag(temp, t_sens * hardness, dt)
@@ -390,8 +405,14 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             lag = hardness * (np.abs(0.020 + 0.020 * srng.randn())
                               + np.abs(0.008 * srng.randn(p, 1)))
             ct_f = np.maximum(t_ft[None, :] + lag, 0.0)
+            # iter-3: the round-4 full-t1 regen read the force low-label end
+            # 9-13 points BELOW published (53.2 @1 % vs 62.1) with 50/100 %
+            # on the mark — the per-poke peak noise + settle wobble below
+            # were over-strengthened in iter-2; trimmed so the unlabeled
+            # manifold is clean enough for the GAN's low-label gains while
+            # single-poke ambiguity still caps the supervised ceiling
             peak = (3.0 + 4.0 * o_stiff) * v * q**0.3 \
-                * (1 + 0.14 * rng.randn(p, 1))
+                * (1 + 0.13 * rng.randn(p, 1))
             # impact spike: impulse transient proportional to velocity ALONE
             # (stiffness-independent) — an explicit v readout that a richly-
             # labeled model can use to deconfound the peak, but 10 labels per
@@ -436,11 +457,15 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # poke-randomly before settling. This corrupts only the first
             # few samples after the (already late) trigger, compounding the
             # short-window penalty without touching >=0.5 s cues.
-            t_set = 0.14 * np.exp(0.25 * srng.randn(p, 1))
+            # iter-3b: settle transient lasts longer (0.14 -> 0.22 s) at a
+            # trimmed amplitude — it must degrade the 0.1-0.5 s windows
+            # (published 70.9/75.1/81.8 %) yet stay a rounding error across
+            # a 4 s window so the Table-1 low-label cells aren't re-crushed
+            t_set = 0.22 * np.exp(0.25 * srng.randn(p, 1))
             settle = np.exp(-ct_f / np.maximum(t_set, 1e-3)) * on
-            gain0 = 1.0 + 0.09 * hardness * srng.randn(p, 1) * settle
-            gain1 = 1.0 + 0.09 * hardness * srng.randn(p, 1) * settle
-            wobble = peak * 0.20 * hardness
+            gain0 = 1.0 + 0.065 * hardness * srng.randn(p, 1) * settle
+            gain1 = 1.0 + 0.065 * hardness * srng.randn(p, 1) * settle
+            wobble = peak * 0.15 * hardness
             off0 = wobble * srng.randn(p, 1) * settle
             off1 = wobble * srng.randn(p, 1) * settle
             force0 = f0_sig * gain0 + off0 \

@@ -166,8 +166,13 @@ def test_force_information_rises_with_window_duration():
     transient decohere the cues a 0.1-0.2 s window relies on, while the
     creep and ring-down cues keep accruing with duration and can deconfound
     the amplitude noise. Same top-Fisher proxy as the mic/temperature tests
-    (measured 0.37 / 1.55 / 2.16 at 0.1 / 1 / 4 s at this seed; hardware
-    GAN probe 69.1 / 79.7 / 83.2 / 86.2 % at 0.1 / 0.2 / 1 / 4 s)."""
+    (measured 0.72 / 1.74 / 2.04 at 0.1 / 1 / 4 s at this seed under the
+    round-4 iter-3 recalibration; hardware GAN probes 78.3 % @0.1 s /
+    86.4 % @1 s / 87.1 % @4 s-100 %-labels vs published 70.9/86.9/87.9 —
+    the iter-2 constants made 4 s low-label cells 9-13 points too HARD, so
+    the per-poke wobble was trimmed and the short-window penalty now rides
+    the longer settle transient; the long/short information ratio is
+    correspondingly shallower than iter-2's)."""
 
     def top_fisher(dur):
         x, y = mreo.load_features(
@@ -190,7 +195,7 @@ def test_force_information_rises_with_window_duration():
 
     short, mid, long_ = (top_fisher(d) for d in (0.1, 1.0, 4.0))
     assert mid > 2.0 * short, (short, mid)
-    assert long_ > 3.0 * short, (short, long_)
+    assert long_ > 2.5 * short, (short, long_)
 
 
 def test_temperature_information_rises_with_window_duration():

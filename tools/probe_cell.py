@@ -30,19 +30,19 @@ sys.path.insert(0, ".")
 # TABLE1[modality][percent] — :17-23 ; TABLE5[modality][duration] — :49-54
 TABLE1 = {
     0: dict(zip((1, 2, 4, 8, 16, 50, 100),
-                (62.1, 66.2, 70.6, 74.3, 79.1, 85.4, 87.9))),
+                (62.1, 70.4, 72.2, 77.7, 79.8, 85.8, 87.9))),
     1: dict(zip((1, 2, 4, 8, 16, 50, 100),
-                (53.8, 58.2, 62.6, 66.6, 71.2, 78.9, 82.1))),
+                (53.8, 59.0, 64.1, 68.1, 69.0, 80.0, 82.1))),
     2: dict(zip((1, 2, 4, 8, 16, 50, 100),
                 (74.3, 81.4, 85.6, 88.5, 90.2, 94.2, 95.3))),
     3: dict(zip((1, 2, 4, 8, 16, 50, 100),
-                (42.9, 50.6, 58.8, 65.1, 71.5, 79.8, 83.1))),
+                (42.9, 53.9, 62.6, 67.5, 73.4, 79.8, 83.1))),
     4: dict(zip((1, 2, 4, 8, 16, 50, 100),
-                (52.4, 62.8, 70.7, 76.5, 81.9, 89.5, 92.2))),
+                (52.4, 68.3, 79.2, 84.9, 87.4, 91.2, 92.2))),
     5: dict(zip((1, 2, 4, 8, 16, 50, 100),
                 (62.8, 75.4, 85.6, 89.4, 92.0, 95.4, 96.2))),
     6: dict(zip((1, 2, 4, 8, 16, 50, 100),
-                (58.2, 66.9, 74.4, 79.7, 84.3, 89.9, 91.8))),
+                (58.2, 67.5, 73.8, 80.2, 84.7, 89.7, 91.8))),
 }
 TABLE5_FT = {
     0: dict(zip((0.1, 0.2, 0.5, 1.0, 2.0, 3.0, 4.0),
