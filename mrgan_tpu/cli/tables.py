@@ -71,10 +71,17 @@ class Ctx:
         from ..utils import compile_cache
 
         compile_cache.enable()
+        from ..utils import stamp as stamp_lib
+
         self.args = args
         self.model = model_name
         self.ckpt = ckpt_lib.SweepCheckpoint(args.checkpoint)
+        # Provenance stamp on every cell this run records: generator
+        # calibration version (or "real"), git sha, round. Downstream
+        # comparisons refuse mixed-generation sets (VERDICT r4 weak #4).
+        self.stamp = stamp_lib.current(synthetic=args.synthetic)
         self.ms = M.MetricStream(args.metrics)
+        self.ms.emit("run_stamp", model=model_name, **self.stamp)
         self.failures = []
         self.seed = (np.random.randint(2**31 - 1)
                      if args.seed is None else args.seed)
@@ -169,7 +176,7 @@ class Ctx:
             return np.asarray([float("nan")])
         self.ms.emit("cell", model=self.model, **key, errors=errors,
                      wall_s=round(time.perf_counter() - t0, 3))
-        self.ckpt.record(errors, model=self.model, **key)
+        self.ckpt.record(errors, stamp=self.stamp, model=self.model, **key)
         return np.asarray(errors)
 
     def finish(self):

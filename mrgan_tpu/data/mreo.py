@@ -68,6 +68,29 @@ def _material_batches(obj_data):
     return out
 
 
+# One-slot memo for the synthetic source: a table sweep calls load_features
+# once per modality against the SAME generated set (mr_gan.py:248-250 loads
+# per modality too, but the reference reads pickles; here each call would
+# re-synthesize 7200 pokes of 48 kHz audio). Keyed by every generate_processed
+# argument; a with_contact=True synthesis also serves later audio-free
+# requests (superset — the audio uses a separate RNG, so force/temperature
+# draws are identical either way, see synthetic.generate_processed).
+_MEMO = {"key": None, "with_contact": False, "value": None}
+
+
+def _generate_processed_memo(seed, forcetemp_time, contactmic_time,
+                             with_contact=True, **kw):
+    key = (synthetic.GENERATOR_VERSION, seed, forcetemp_time,
+           contactmic_time, tuple(sorted(kw.items())))
+    if _MEMO["key"] == key and (_MEMO["with_contact"] or not with_contact):
+        return _MEMO["value"]
+    value = synthetic.generate_processed(
+        seed=seed, forcetemp_time=forcetemp_time,
+        contactmic_time=contactmic_time, with_contact=with_contact, **kw)
+    _MEMO.update(key=key, with_contact=with_contact, value=value)
+    return value
+
+
 def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
                   leave_object_out=False, data_dir="data_processed",
                   synthetic_seed=None, verbose=False, deriv=False,
@@ -88,7 +111,7 @@ def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
         # skip the (dominant-cost) 48 kHz audio synthesis for audio-free
         # modalities
         kw.setdefault("with_contact", modalities in feat_ops.NEEDS_AUDIO)
-        synth = synthetic.generate_processed(
+        synth = _generate_processed_memo(
             seed=0 if synthetic_seed is None else synthetic_seed,
             forcetemp_time=forcetemp_time,
             contactmic_time=contactmic_time,

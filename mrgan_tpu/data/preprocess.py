@@ -69,7 +69,8 @@ def _batched_window_centered(times, values, impacts, half, num_out):
     return np.asarray(out), np.asarray(grid)
 
 
-def process_sequences(raw, duration, contact_len, streams=None):
+def process_sequences(raw, duration, contact_len, streams=None,
+                      out_dtype=np.float32):
     """Process one raw batch dict (the per-file schema of
     collectdataPoke.py's saves) into the processed per-object schema.
 
@@ -78,6 +79,13 @@ def process_sequences(raw, duration, contact_len, streams=None):
     ``streams`` limits the work to a subset of {"force", "pressure",
     "temperature", "contact"} (None = all) — online serving only windows
     what its modality reads; the 48 kHz contact resample dominates.
+
+    ``out_dtype``: dtype of the stored arrays. The windowing/lerp math runs
+    in float32 on device either way (a documented TPU-native deviation from
+    the reference's float64 interp1d, pinned by parity tests); the OFFLINE
+    pipeline (run()) writes float64 to mirror the reference's on-disk format
+    (processdata.py:58-83 stores interp1d's float64 output uncast), while
+    online serving keeps float32.
     """
     if streams is None:
         streams = {"force", "pressure", "temperature", "contact"}
@@ -96,9 +104,9 @@ def process_sequences(raw, duration, contact_len, streams=None):
         f1, _ = _batched_window(
             force_t, [f[:, TAXEL_2] for f in force], impacts, 0.1, duration,
             n_ft)
-        out["forceTime"] = list(f_grid)
-        out["force0"] = list(f0)
-        out["force1"] = list(f1)
+        out["forceTime"] = list(np.asarray(f_grid, out_dtype))
+        out["force0"] = list(np.asarray(f0, out_dtype))
+        out["force1"] = list(np.asarray(f1, out_dtype))
     if "pressure" in streams:
         pressure = [np.asarray(p, np.float32)
                     for p in raw["RGripRFingerPressure"]]
@@ -108,28 +116,28 @@ def process_sequences(raw, duration, contact_len, streams=None):
         p1, _ = _batched_window(
             force_t, [p[:, TAXEL_2] for p in pressure], impacts, 0.1,
             duration, n_ft)
-        out["pressureTime"] = list(p_grid)
-        out["pressure0"] = list(p0)
-        out["pressure1"] = list(p1)
+        out["pressureTime"] = list(np.asarray(p_grid, out_dtype))
+        out["pressure0"] = list(np.asarray(p0, out_dtype))
+        out["pressure1"] = list(np.asarray(p1, out_dtype))
     if "temperature" in streams:
         temp_t = [np.asarray(t, np.float64) for t in raw["temperatureTime"]]
         temp = [np.asarray(x, np.float32) for x in raw["temperatureRaw"]]
         tc, t_grid = _batched_window(
             temp_t, [x[:, 1] for x in temp], impacts, 0.1, duration, n_ft)
-        out["temperatureTime"] = list(t_grid)
-        out["temperature"] = list(tc)
+        out["temperatureTime"] = list(np.asarray(t_grid, out_dtype))
+        out["temperature"] = list(np.asarray(tc, out_dtype))
     if "contact" in streams:
         con_t = [np.asarray(t, np.float64) for t in raw["contactmicTime"]]
         con = [np.asarray(c, np.float32) for c in raw["contactmic"]]
         cm, c_grid = _batched_window_centered(con_t, con, impacts,
                                               contact_len / 2.0, n_c)
-        out["contactTime"] = list(c_grid)
-        out["contact"] = list(cm)
+        out["contactTime"] = list(np.asarray(c_grid, out_dtype))
+        out["contact"] = list(np.asarray(cm, out_dtype))
     return out
 
 
 def process_material(material, duration, contact_len, raw_dir="data_raw",
-                     verbose=True):
+                     verbose=True, out_dtype=np.float32):
     """All raw files of one material -> {object: processed streams}."""
     filenames = sorted(glob.glob(os.path.join(raw_dir,
                                               "newdata_%s*.pkl" % material)))
@@ -141,7 +149,8 @@ def process_material(material, duration, contact_len, raw_dir="data_raw",
         if verbose:
             print("Processing:", filename)
             tt = time.time()
-        processed = process_sequences(raw, duration, contact_len)
+        processed = process_sequences(raw, duration, contact_len,
+                                      out_dtype=out_dtype)
         dest = all_data.setdefault(obj, {k: [] for k in processed})
         for k, v in processed.items():
             dest[k].extend(v)
@@ -152,7 +161,7 @@ def process_material(material, duration, contact_len, raw_dir="data_raw",
 
 
 def run(raw_dir="data_raw", out_dir="data_processed", configs=None,
-        prefix="custom_", verbose=True):
+        prefix="custom_", verbose=True, out_dtype=np.float64):
     """Full pipeline over all configs x materials (processdata.py module loop).
 
     ``prefix``: the reference writes 'custom_processed_...' while its loaders
@@ -168,7 +177,8 @@ def run(raw_dir="data_raw", out_dir="data_processed", configs=None,
             print("-" * 50)
         for material in MATERIALS:
             all_data = process_material(material, duration, contact_len,
-                                        raw_dir, verbose)
+                                        raw_dir, verbose,
+                                        out_dtype=out_dtype)
             out_path = os.path.join(
                 out_dir,
                 "%sprocessed_0.1sbefore_%s_times_%.2f_%.2f.pkl"

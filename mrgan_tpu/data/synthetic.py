@@ -26,6 +26,17 @@ import scipy.signal
 
 from .. import MATERIALS
 
+# Version stamp of the synthetic-MREO physics/calibration constants below.
+# EVERY change to the generator's distributions MUST bump this: sweep
+# artifacts record it (utils/stamp.py -> SweepCheckpoint), and the
+# comparison tools (tools/compare_published.py, tools/summarize_regen.py)
+# refuse to mix artifacts produced under different generator versions —
+# round 4's headline GAN-vs-MLP gap silently compared cells from two
+# different generations (VERDICT r4 weak #4).
+# History: r3 = round-3 temperature redesign; r4i2/r4i3 = round-4
+# recalibration iterations 2/3 (commits 825735f, 27da587).
+GENERATOR_VERSION = "r4i3"
+
 # Raw-stream sample rates (Hz): PR2 fingertip force/pressure, Teensy thermal
 # telemetry (active_thermal_magnum_opus.ino:113-121 emits at 100 Hz), contact
 # mic ADC stream (teensy_contactmic.ino free-running, ~48 kHz class).
@@ -154,7 +165,7 @@ def _object_names(material, n_objects):
 
 
 def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
-                      impact_s=0.8, jitter=True):
+                      impact_s=0.8, jitter=True, dtype=np.float64):
     """Synthesize one raw acquisition pickle with the collectdataPoke.py save
     schema consumed by processdata.py:41 — per-poke parallel lists:
     temperatureRaw (T,2), temperatureTime, RGripRFingerForce (T,5 taxels),
@@ -163,6 +174,13 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
 
     Streams are irregularly sampled (timestamp jitter) so the lerp resampler
     is exercised on realistic input.
+
+    ``dtype`` sets the stored sample dtype. The real acquisition stack moves
+    every stream through ROS ``Float64MultiArray`` messages
+    (collectdataPoke.py:97-100, temperaturepublisher.py:59-61), so the real
+    raw pickles hold float64 — the default mirrors that; float32 halves the
+    fabricated footprint for tests. Timestamps are always float64 (rospy
+    wall-clock semantics).
     """
     rng = np.random.RandomState(seed)
     drop, tau, stiff, f_res, decay, amp = _MATERIAL_PHYSICS[material]
@@ -188,17 +206,17 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
         ramp = np.clip(contact_t / 0.05, 0.0, 1.0)
         peak = 3.0 + 4.0 * stiff
         base = peak * ramp + 0.05 * rng.randn(len(t_f))
-        force = np.zeros((len(t_f), 5), np.float32)
+        force = np.zeros((len(t_f), 5), dtype)
         force[:, 3] = base
         force[:, 4] = 0.8 * base
-        pressure = (force * 20.0 + 5.0).astype(np.float32)
+        pressure = (force * 20.0 + 5.0).astype(dtype)
 
         t_t = times(RAW_RATES["temperature"])
         cool = drop * (1.0 - np.exp(-np.maximum(t_t - impact, 0.0) / tau))
         celsius = 55.0 - cool + 0.05 * rng.randn(len(t_t))
         temp = np.stack(
             [celsius * 37.0 + 500.0, celsius], axis=1
-        ).astype(np.float32)  # raw ADC-ish channel 0, Celsius channel 1
+        ).astype(dtype)  # raw ADC-ish channel 0, Celsius channel 1
 
         t_c = times(RAW_RATES["contact"])
         tc = t_c - impact
@@ -206,10 +224,10 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
             amp * 200.0 * np.exp(-np.maximum(tc, 0.0) * decay)
             * np.sin(2 * np.pi * f_res * tc) * (tc >= 0.0)
         )
-        mic = (burst + 2.0 * rng.randn(len(t_c))).astype(np.float32)
+        mic = (burst + 2.0 * rng.randn(len(t_c))).astype(dtype)
 
         accel_t = times(3000.0)[: int(3000 * record_s)]
-        accel = 0.01 * rng.randn(len(accel_t)).astype(np.float32)
+        accel = 0.01 * rng.randn(len(accel_t)).astype(dtype)
 
         out["temperatureRaw"].append(temp)
         out["temperatureTime"].append(t_t)

@@ -18,11 +18,18 @@ import os
 
 
 class SweepCheckpoint:
-    """Append-only {cell-key -> result} store backed by a JSONL file."""
+    """Append-only {cell-key -> result} store backed by a JSONL file.
+
+    Records optionally carry a provenance ``stamp`` (utils/stamp.py): the
+    generator calibration version + git sha the cell was produced under, so
+    downstream comparisons can refuse mixed-generation artifact sets
+    (VERDICT r4 weak #4).
+    """
 
     def __init__(self, path):
         self.path = path
         self._done = {}
+        self.generators = set()  # generator versions seen in the file
         if path and os.path.exists(path):
             with open(path) as f:
                 for line in f:
@@ -31,6 +38,9 @@ class SweepCheckpoint:
                         continue
                     rec = json.loads(line)
                     self._done[self._key(rec["cell"])] = rec["result"]
+                    self.generators.add(
+                        (rec.get("stamp") or {}).get("generator",
+                                                     "unstamped"))
 
     @staticmethod
     def _key(cell):
@@ -39,11 +49,29 @@ class SweepCheckpoint:
     def get(self, **cell):
         return self._done.get(self._key(cell))
 
-    def record(self, result, **cell):
+    def record(self, result, stamp=None, **cell):
         self._done[self._key(cell)] = result
         if self.path:
+            rec = {"cell": cell, "result": result}
+            if stamp:
+                rec["stamp"] = stamp
             with open(self.path, "a") as f:
-                f.write(json.dumps({"cell": cell, "result": result}) + "\n")
+                f.write(json.dumps(rec) + "\n")
                 f.flush()
                 os.fsync(f.fileno())
         return result
+
+
+def file_generators(path):
+    """Set of generator versions stamped in a checkpoint JSONL file
+    (empty if the file is absent; "unstamped" counts rows without one)."""
+    gens = set()
+    if path and os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                line = line.strip()
+                if line:
+                    rec = json.loads(line)
+                    gens.add((rec.get("stamp") or {}).get("generator",
+                                                          "unstamped"))
+    return gens

@@ -130,17 +130,15 @@ def test_summarize_write_requires_marker(fake_artifacts, tmp_path):
 GATE_TOOL = os.path.join(REPO, "tools", "compare_published.py")
 
 # the published Table-1 accuracy grids (reference paperplotly.py:17-23),
-# keyed by modality index like the sweep checkpoints
-_PUB_T1 = {
-    0: (62.1, 66.2, 70.6, 74.3, 79.1, 85.4, 87.9),
-    1: (53.8, 58.2, 62.6, 66.6, 71.2, 78.9, 82.1),
-    2: (74.3, 81.4, 85.6, 88.5, 90.2, 94.2, 95.3),
-    3: (42.9, 50.6, 58.8, 65.1, 71.5, 79.8, 83.1),
-    4: (52.4, 62.8, 70.7, 76.5, 81.9, 89.5, 92.2),
-    5: (62.8, 75.4, 85.6, 89.4, 92.0, 95.4, 96.2),
-    6: (58.2, 66.9, 74.4, 79.7, 84.3, 89.9, 91.8),
-}
-_T1_PERCENTS = (1, 2, 4, 8, 16, 50, 100)
+# keyed by modality index like the sweep checkpoints. Imported from the
+# single source of truth (reports.plots) so the gate tests exercise the TRUE
+# published curves — ADVICE r4: a stale local copy sat just inside the gate
+# thresholds and quietly weakened these tests.
+from mrgan_tpu.reports import plots as _plots  # noqa: E402
+
+_PUB_T1 = {m: tuple(_plots.TABLE1[name])
+           for m, name in _plots.MODALITY_CURVES.items()}
+_T1_PERCENTS = tuple(_plots.TABLE1_X)
 
 
 def _t1_artifacts(tmp_path, transform=lambda m, p, acc: acc):

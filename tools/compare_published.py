@@ -32,6 +32,27 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from mrgan_tpu.reports import plots  # noqa: E402
+from mrgan_tpu.utils import checkpoint as ckpt_lib  # noqa: E402
+
+
+def check_stamps(artifacts, files=("t1_sweep.jsonl", "t5_sweep.jsonl",
+                                   "t24_nn.jsonl")):
+    """Refuse mixed-generation artifact sets (VERDICT r4 weak #4): every
+    row of every present artifact file must carry the SAME synthetic-
+    generator version stamp. Returns that version; exits 2 on a mix."""
+    per_file = {f: ckpt_lib.file_generators(os.path.join(artifacts, f))
+                for f in files}
+    per_file = {f: g for f, g in per_file.items() if g}
+    all_gens = set().union(*per_file.values()) if per_file else set()
+    if len(all_gens) > 1:
+        print("== Stamp check ==")
+        for f, gens in sorted(per_file.items()):
+            print(f"  {f}: {', '.join(sorted(gens))}")
+        print(f"  REFUSED: artifacts mix generator versions "
+              f"{sorted(all_gens)} — curves from different synthetic "
+              "datasets are not comparable; regenerate under one version")
+        sys.exit(2)
+    return next(iter(all_gens)) if all_gens else None
 
 
 def _spearman(a, b):
@@ -169,18 +190,20 @@ def main():
                                          "parity_thresholds.json"))
     args = ap.parse_args()
 
+    generator = check_stamps(args.artifacts)
     records = gather_records(args.artifacts)
 
     if args.gate:
         with open(args.thresholds) as f:
             thresholds = json.load(f)
         violations = evaluate_gate(records, thresholds)
-        print("\n== Gate ==")
+        print(f"\n== Gate (generator stamp: {generator or 'none'}) ==")
         if violations:
             for v in violations:
                 print(f"  FAIL {v}")
             sys.exit(1)
-        print(f"  PASS ({len(records)} curve families within thresholds)")
+        print(f"  PASS ({len(records)} curve families within thresholds, "
+              f"all stamped {generator or 'none'})")
 
 
 if __name__ == "__main__":

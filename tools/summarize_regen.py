@@ -26,6 +26,7 @@ import numpy as np
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from mrgan_tpu.reports import plots  # noqa: E402
+from mrgan_tpu.utils import checkpoint as ckpt_lib  # noqa: E402
 
 MARKER = "<!-- R2_REGEN_RESULTS -->"
 END_MARKER = "<!-- /R2_REGEN_RESULTS -->"
@@ -101,8 +102,31 @@ def _fmt_min(m):
     return "—" if m is None else f"{m:.1f} min"
 
 
+def check_stamps(artifacts):
+    """Refuse to summarize a mixed-generation artifact set (VERDICT r4
+    weak #4): all present sweep files must share one generator stamp.
+    Returns the version string (or None if no artifacts exist)."""
+    files = ["t1_sweep.jsonl", "t3_sweep.jsonl", "t5_sweep.jsonl",
+             "t6_sweep.jsonl", "t24_nn.jsonl", "t2_svm.jsonl"]
+    per_file = {f: ckpt_lib.file_generators(os.path.join(artifacts, f))
+                for f in files}
+    per_file = {f: g for f, g in per_file.items() if g}
+    all_gens = set().union(*per_file.values()) if per_file else set()
+    if len(all_gens) > 1:
+        for f, gens in sorted(per_file.items()):
+            print(f"  {f}: {', '.join(sorted(gens))}", file=sys.stderr)
+        sys.exit(f"REFUSED: artifacts mix generator versions "
+                 f"{sorted(all_gens)}; regenerate under one version before "
+                 "summarizing")
+    return next(iter(all_gens)) if all_gens else None
+
+
 def build(artifacts):
     L = []
+    generator = check_stamps(artifacts)
+    if generator:
+        L.append(f"(all sweep artifacts stamped generator **{generator}**)")
+        L.append("")
 
     # --- per-table regen summary -------------------------------------
     # Expected cell counts are the full sweep grids (cli/tables.py; the
