@@ -34,8 +34,10 @@ from .. import MATERIALS
 # round 4's headline GAN-vs-MLP gap silently compared cells from two
 # different generations (VERDICT r4 weak #4).
 # History: r3 = round-3 temperature redesign; r4i2/r4i3 = round-4
-# recalibration iterations 2/3 (commits 825735f, 27da587).
-GENERATOR_VERSION = "r4i3"
+# recalibration iterations 2/3 (commits 825735f, 27da587); r5.x = round-5
+# proxy-loop iterations (tools/proxy_grid.py; targets from the r4i3
+# full-fidelity gate failures, VERDICT r4 weak #1).
+GENERATOR_VERSION = "r5.1"
 
 # Raw-stream sample rates (Hz): PR2 fingertip force/pressure, Teensy thermal
 # telemetry (active_thermal_magnum_opus.ino:113-121 emits at 100 Hz), contact
@@ -96,7 +98,13 @@ _POKE_SIGMA_V = 0.17   # impact-velocity lognormal sigma
 # Short Table-5 windows see an attenuated, delayed signal — part of the
 # published duration curves' low end — while windows >> the lag are
 # unaffected.
-_TEMP_SENSOR_TAU = 0.028
+# r5.1: 0.028 -> 0.016 — the r4i3 full regen read Table-5 temperature
+# -12.2 at 0.1 s (46.7 vs published 58.9): with a 28 ms readout lag the
+# fast-surface drop barely registers inside a [-0.1, +0.1] s window, so the
+# short-window cells starved. A faster (but still physical) surface
+# thermistor moves signal into the shortest windows while leaving >=0.5 s
+# windows essentially untouched (the lag was already << those windows).
+_TEMP_SENSOR_TAU = 0.016
 # (iter-3b tried 0.042 here; the slower readout attenuates the ~20 Hz
 # contact ring — the hard-cluster cue — at EVERY window length, crushing
 # the 4 s Table-1 cells (-11 @1 % on hardware), so short-window difficulty
@@ -327,13 +335,20 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # harder) while the per-poke nuisances below shrink (a single
             # test poke reads its object's mode more faithfully, lifting
             # the full-label ceiling toward the published 82.1)
+            # (r5.1: 0.60 -> 0.64 — the r4i3 Table-1 temperature low-label
+            # cells ran slightly hot, +4.2 @1 %; a marginally broader
+            # object-mode union costs low-label coverage most)
             o_wf = float(np.clip(
-                w_base * np.exp(0.60 * hardness * rng.randn()), 0.06, 0.85))
+                w_base * np.exp(0.64 * hardness * rng.randn()), 0.06, 0.85))
             # fast-surface tau mostly inside a 0.1 s window (published T5
             # temp already reads 58.9 % at 0.1 s — round-4 probe at
             # tau_f=0.055 measured 51.3: too slow); the late drift shrinks
             # (round-4 probe: 4 s windows +4.1 too easy)
-            o_tauf = 0.042 * np.exp(0.80 * hardness * rng.randn())
+            # r5.1: 0.042 -> 0.030 — pairs with the faster _TEMP_SENSOR_TAU
+            # to feed the 0.1 s Table-5 window (published 58.9 %, r4i3
+            # regen 46.7): most of the fast-surface component now completes
+            # within the window instead of being half-built at its edge
+            o_tauf = 0.030 * np.exp(0.80 * hardness * rng.randn())
             o_late = 0.035 * o_drop * np.exp(0.8 * hardness * rng.randn())
             # thermal coupling depends STRONGLY on contact quality (round-4
             # recalibration: q**0.15 left single pokes too trustworthy — the
@@ -357,7 +372,13 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # seating jitter), which makes the ripple a readable class cue
             # (resonance + decay) rather than phase-random noise; amplitude
             # rides the drop (class-correlated)
-            o_rip = 0.16 * np.exp(0.50 * hardness * rng.randn())
+            # r5.1: 0.16 -> 0.13 — the r4i3 Table-5 temperature mid-window
+            # cells ran hot (+2.0 @1 s, +4.8 @2 s): the ripple (resolved
+            # once a window spans a few ring periods) was handing 1-2 s
+            # windows too much extra class signal; trimmed, not removed —
+            # it remains the cue that keeps the GAN ahead of the SVM on
+            # temperature (round-3 measured result)
+            o_rip = 0.13 * np.exp(0.50 * hardness * rng.randn())
             phase_r = 0.35 * hardness * rng.randn(p, 1)
             # the thermal ripple decays FASTER than the mechanical ring
             # (contact pressure stabilizes once the pad conforms), so the
@@ -429,8 +450,14 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # were over-strengthened in iter-2; trimmed so the unlabeled
             # manifold is clean enough for the GAN's low-label gains while
             # single-poke ambiguity still caps the supervised ceiling
+            # r5.1: peak noise 0.13 -> 0.10 — the r4i3 full regen still read
+            # the force low-label end 6-8 points BELOW published (55.8 @1 %
+            # vs 62.1, 62.0 @2 % vs 70.4) with the 50/100 % cells on the
+            # mark; the per-poke peak nuisance is the knob that loads on the
+            # low-label cells (a labeled poke's peak misleads), so it takes
+            # the remaining trim, not the object spreads
             peak = (3.0 + 4.0 * o_stiff) * v * q**0.3 \
-                * (1 + 0.13 * rng.randn(p, 1))
+                * (1 + 0.10 * rng.randn(p, 1))
             # impact spike: impulse transient proportional to velocity ALONE
             # (stiffness-independent) — an explicit v readout that a richly-
             # labeled model can use to deconfound the peak, but 10 labels per
@@ -479,11 +506,17 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # trimmed amplitude — it must degrade the 0.1-0.5 s windows
             # (published 70.9/75.1/81.8 %) yet stay a rounding error across
             # a 4 s window so the Table-1 low-label cells aren't re-crushed
-            t_set = 0.22 * np.exp(0.25 * srng.randn(p, 1))
+            # r5.1: settle 0.22 s/0.15 -> 0.26 s/0.22 — the r4i3 Table-5
+            # force short windows ran hot (+7.4 @0.1 s, +6.4 @0.2 s,
+            # +4.1 @0.5 s vs published 70.9/75.1/81.8): the settle transient
+            # is the knob that degrades ONLY the first ~quarter second
+            # (a 4 s Table-1 window sees it on <7 % of samples), so it
+            # strengthens while the all-window peak noise above is trimmed
+            t_set = 0.26 * np.exp(0.25 * srng.randn(p, 1))
             settle = np.exp(-ct_f / np.maximum(t_set, 1e-3)) * on
-            gain0 = 1.0 + 0.065 * hardness * srng.randn(p, 1) * settle
-            gain1 = 1.0 + 0.065 * hardness * srng.randn(p, 1) * settle
-            wobble = peak * 0.15 * hardness
+            gain0 = 1.0 + 0.085 * hardness * srng.randn(p, 1) * settle
+            gain1 = 1.0 + 0.085 * hardness * srng.randn(p, 1) * settle
+            wobble = peak * 0.22 * hardness
             off0 = wobble * srng.randn(p, 1) * settle
             off1 = wobble * srng.randn(p, 1) * settle
             force0 = f0_sig * gain0 + off0 \
@@ -514,7 +547,12 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 # shortest Table-5 windows (+-25 ms) lose a varying fraction
                 # of the onset and early ring — their mel frames decohere
                 # across pokes — while +-100 ms windows keep everything.
-                lat = hardness * 0.030 * np.exp(1.45 * arng.randn(p, 1))
+                # r5.1: latency spread 1.45 -> 1.60 — the r4i3 regen read
+                # the shortest mic window +8.5 (71.8 @0.05 s vs published
+                # 63.3); a wider poke-to-poke detection latency loses a
+                # larger, more variable fraction of the onset inside
+                # +-25 ms windows while >=0.1 s windows keep everything
+                lat = hardness * 0.030 * np.exp(1.60 * arng.randn(p, 1))
                 tc = t_c[None, :] + lat
                 pos = tc >= 0.0
                 # contact stiffening: modal frequencies settle onto their
@@ -537,8 +575,15 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                     fm_p = fm * arng.uniform(0.97, 1.03, (p, 1))
                     # excitation-dependent mode balance: which partials ring
                     # depends on where/how the poke lands
+                    # r5.1: 0.80 -> 1.00 — the r4i3 Table-1 mic label curve
+                    # ran 4-8.5 points hot at 1-16 % labels (51.4 @1 % vs
+                    # published 42.9) while 50/100 % were on the mark:
+                    # wider excitation-dependent mode balance makes a
+                    # SINGLE poke's spectrum more ambiguous about its
+                    # object (low-label pain) while thousands of unlabeled
+                    # pokes still expose the class manifold
                     am_p = am * np.exp(
-                        0.80 * hardness * arng.randn(p, 1))
+                        1.00 * hardness * arng.randn(p, 1))
                     dec_p = o_decay * (1 + 0.55 * mode) \
                         * (1 + 0.10 * hardness * arng.randn(p, 1))
                     if mode == 0:
@@ -557,7 +602,10 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 # post-contact) are barely attenuated
                 # round-4: 0.034 s build left +-25 ms windows too readable
                 # (probe: 73.0 % @0.05 s vs published 63.3)
-                t_build = 0.048 * np.exp(0.30 * hardness * arng.randn(p, 1))
+                # r5.1: 0.048 -> 0.062 — +-25 ms windows were still too
+                # readable at the r4i3 build time (see the latency note
+                # above; published 63.3 % @0.05 s)
+                t_build = 0.062 * np.exp(0.30 * hardness * arng.randn(p, 1))
                 ring *= 1.0 - np.exp(-np.maximum(tc, 0.0)
                                      / np.maximum(t_build, 1e-4))
                 # biexponential fundamental decay: a low free-ring tail
