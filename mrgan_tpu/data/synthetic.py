@@ -222,9 +222,12 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
         t_t = times(RAW_RATES["temperature"])
         cool = drop * (1.0 - np.exp(-np.maximum(t_t - impact, 0.0) / tau))
         celsius = 55.0 - cool + 0.05 * rng.randn(len(t_t))
+        # channel 0 is the firmware's raw ADC count (integer-valued, like
+        # the mic below — active_thermal_magnum_opus.ino:113-121 prints
+        # "raw,celsius"); channel 1 the converted Celsius float
         temp = np.stack(
-            [celsius * 37.0 + 500.0, celsius], axis=1
-        ).astype(dtype)  # raw ADC-ish channel 0, Celsius channel 1
+            [np.round(celsius * 37.0 + 500.0), celsius], axis=1
+        ).astype(dtype)
 
         t_c = times(RAW_RATES["contact"])
         tc = t_c - impact
@@ -232,7 +235,16 @@ def generate_raw_file(seed=0, material="plastic", pokes=4, record_s=5.5,
             amp * 200.0 * np.exp(-np.maximum(tc, 0.0) * decay)
             * np.sin(2 * np.pi * f_res * tc) * (tc >= 0.0)
         )
-        mic = (burst + 2.0 * rng.randn(len(t_c))).astype(dtype)
+        # The contact-mic stream is INTEGER-VALUED: the Teensy firmware
+        # emits raw 12-bit analogRead counts (teensy_contactmic.ino:12-15,
+        # one int per line), which the publisher forwards and the collector
+        # stores as float64 ROS array elements. Quantizing to ADC counts
+        # around the 2048 midpoint mirrors those bytes — and is why the
+        # real 10 GB raw download compresses so much better than
+        # continuous-valued floats would (integer-valued float64 mantissas
+        # are mostly zeros; measured by the rehearsal fabricate stage).
+        mic = np.round(2048.0 + burst
+                       + 2.0 * rng.randn(len(t_c))).astype(dtype)
 
         accel_t = times(3000.0)[: int(3000 * record_s)]
         accel = 0.01 * rng.randn(len(accel_t)).astype(dtype)
@@ -547,12 +559,13 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 # shortest Table-5 windows (+-25 ms) lose a varying fraction
                 # of the onset and early ring — their mel frames decohere
                 # across pokes — while +-100 ms windows keep everything.
-                # r5.1: latency spread 1.45 -> 1.60 — the r4i3 regen read
-                # the shortest mic window +8.5 (71.8 @0.05 s vs published
-                # 63.3); a wider poke-to-poke detection latency loses a
-                # larger, more variable fraction of the onset inside
-                # +-25 ms windows while >=0.1 s windows keep everything
-                lat = hardness * 0.030 * np.exp(1.60 * arng.randn(p, 1))
+                # (r5.1 probed spread 1.60 here for the hot 0.05 s cell
+                # and reverted: the heavier latency tail costs MID windows
+                # more than short ones — pokes with lat > 100 ms lose the
+                # onset even at +-100 ms, and the loader's mid/short
+                # information ratio fell below its property bar — so the
+                # short-window trim lives in the clutter level below)
+                lat = hardness * 0.030 * np.exp(1.45 * arng.randn(p, 1))
                 tc = t_c[None, :] + lat
                 pos = tc >= 0.0
                 # contact stiffening: modal frequencies settle onto their
@@ -575,15 +588,18 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                     fm_p = fm * arng.uniform(0.97, 1.03, (p, 1))
                     # excitation-dependent mode balance: which partials ring
                     # depends on where/how the poke lands
-                    # r5.1: 0.80 -> 1.00 — the r4i3 Table-1 mic label curve
+                    # r5.1: 0.80 -> 0.90 — the r4i3 Table-1 mic label curve
                     # ran 4-8.5 points hot at 1-16 % labels (51.4 @1 % vs
                     # published 42.9) while 50/100 % were on the mark:
                     # wider excitation-dependent mode balance makes a
                     # SINGLE poke's spectrum more ambiguous about its
                     # object (low-label pain) while thousands of unlabeled
-                    # pokes still expose the class manifold
+                    # pokes still expose the class manifold. (1.00 was
+                    # probed first and halved the mid-window Fisher score
+                    # of the fully-labeled features — an ALL-cell hit, not
+                    # a low-label one; the loader property test caught it.)
                     am_p = am * np.exp(
-                        1.00 * hardness * arng.randn(p, 1))
+                        0.90 * hardness * arng.randn(p, 1))
                     dec_p = o_decay * (1 + 0.55 * mode) \
                         * (1 + 0.10 * hardness * arng.randn(p, 1))
                     if mode == 0:
@@ -602,10 +618,12 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 # post-contact) are barely attenuated
                 # round-4: 0.034 s build left +-25 ms windows too readable
                 # (probe: 73.0 % @0.05 s vs published 63.3)
-                # r5.1: 0.048 -> 0.062 — +-25 ms windows were still too
-                # readable at the r4i3 build time (see the latency note
-                # above; published 63.3 % @0.05 s)
-                t_build = 0.062 * np.exp(0.30 * hardness * arng.randn(p, 1))
+                # (r5.1 probed 0.062 here for the hot 0.05 s cell and
+                # reverted: build time delays the ring for EVERY window —
+                # the 0.2 s Fisher score halved; the short-window trim
+                # lives in the latency spread above + clutter level below,
+                # which decay away by ~100 ms)
+                t_build = 0.048 * np.exp(0.30 * hardness * arng.randn(p, 1))
                 ring *= 1.0 - np.exp(-np.maximum(tc, 0.0)
                                      / np.maximum(t_build, 1e-4))
                 # biexponential fundamental decay: a low free-ring tail
@@ -655,7 +673,12 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                                                (p, 1)))
                     dec_cl = np.exp(arng.uniform(np.log(110.0), np.log(260.0),
                                                  (p, 1)))
-                    a_cl = 330.0 * np.exp(0.5 * arng.randn(p, 1))
+                    # r5.1: 330 -> 400 — more class-generic clutter energy
+                    # buries the half-built ring in +-25 ms windows
+                    # (published 63.3 % @0.05 s, r4i3 regen +8.5) while
+                    # windows >=0.2 s barely notice (clutter decays at
+                    # 110-260 /s, gone by ~100 ms post-impact)
+                    a_cl = 400.0 * np.exp(0.5 * arng.randn(p, 1))
                     click += a_cl * np.exp(-np.maximum(tc, 0.0) * dec_cl) \
                         * np.sin(2 * np.pi * f_cl * tc
                                  + arng.uniform(0, 2 * np.pi, (p, 1)))
