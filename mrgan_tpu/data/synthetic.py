@@ -37,7 +37,7 @@ from .. import MATERIALS
 # recalibration iterations 2/3 (commits 825735f, 27da587); r5.x = round-5
 # proxy-loop iterations (tools/proxy_grid.py; targets from the r4i3
 # full-fidelity gate failures, VERDICT r4 weak #1).
-GENERATOR_VERSION = "r5.3"
+GENERATOR_VERSION = "r5.4"
 
 # Raw-stream sample rates (Hz): PR2 fingertip force/pressure, Teensy thermal
 # telemetry (active_thermal_magnum_opus.ino:113-121 emits at 100 Hz), contact
@@ -88,14 +88,11 @@ _OBJECT_SPREADS = {
     "drop": 0.45, "tau": 0.32, "stiff": 0.10, "f0": 0.26, "decay": 0.28,
     "amp": 0.30,
 }
-# r5.3: 0.24 -> 0.21 with exponent compensation in the temperature
-# (q**0.343) and audio (q**1.143) couplings so their effective coupling
-# noise is unchanged — the force peak keeps its q**0.3, so force (and with
-# it the F+T fusion cells) reads ~12 % less of the one nuisance few labels
-# can deconfound. Targets the r4i3 gate failure "t1 F+T span 26.7 vs
-# 21.0 +/- 5.2", which is a cold LOW-label end (68.5 @1 % vs published
-# 74.3) over an on-the-mark top (95.2 @100 % vs 95.3).
-_POKE_SIGMA_Q = 0.21   # contact-quality lognormal sigma
+# (r5.3 probed 0.21 with exponent compensation so only the force peak read
+# less coupling nuisance, targeting the cold F+T low-label end — the paired
+# grid measured the force low-label cells UNMOVED (-0.3 @1 %): the force
+# label-efficiency deficit is not q-limited, and the knob was reverted.)
+_POKE_SIGMA_Q = 0.24   # contact-quality lognormal sigma
 _POKE_SIGMA_V = 0.17   # impact-velocity lognormal sigma
 
 # First-order measurement lag (sensor dynamics): the thermistor sits at the
@@ -111,7 +108,7 @@ _POKE_SIGMA_V = 0.17   # impact-velocity lognormal sigma
 # short-window cells starved. A faster (but still physical) surface
 # thermistor moves signal into the shortest windows while leaving >=0.5 s
 # windows essentially untouched (the lag was already << those windows).
-_TEMP_SENSOR_TAU = 0.016
+_TEMP_SENSOR_TAU = 0.028
 # (iter-3b tried 0.042 here; the slower readout attenuates the ~20 Hz
 # contact ring — the hard-cluster cue — at EVERY window length, crushing
 # the 4 s Table-1 cells (-11 @1 % on hardware), so short-window difficulty
@@ -367,7 +364,7 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # cells ran slightly hot, +4.2 @1 %; a marginally broader
             # object-mode union costs low-label coverage most)
             o_wf = float(np.clip(
-                w_base * np.exp(0.70 * hardness * rng.randn()), 0.06, 0.85))
+                w_base * np.exp(0.60 * hardness * rng.randn()), 0.06, 0.85))
             # fast-surface tau mostly inside a 0.1 s window (published T5
             # temp already reads 58.9 % at 0.1 s — round-4 probe at
             # tau_f=0.055 measured 51.3: too slow); the late drift shrinks
@@ -376,14 +373,14 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # to feed the 0.1 s Table-5 window (published 58.9 %, r4i3
             # regen 46.7): most of the fast-surface component now completes
             # within the window instead of being half-built at its edge
-            o_tauf = 0.030 * np.exp(0.80 * hardness * rng.randn())
+            o_tauf = 0.042 * np.exp(0.80 * hardness * rng.randn())
             o_late = 0.035 * o_drop * np.exp(0.8 * hardness * rng.randn())
             # thermal coupling depends STRONGLY on contact quality (round-4
             # recalibration: q**0.15 left single pokes too trustworthy — the
             # T1 temperature curve sat +9 above published at 1-4 % labels;
             # a per-poke amplitude nuisance makes one poke underdetermine
             # the object while thousands still average out)
-            poke_drop = o_drop * q**0.343 * (1 + 0.055 * hardness * rng.randn(p, 1))
+            poke_drop = o_drop * q**0.30 * (1 + 0.055 * hardness * rng.randn(p, 1))
             w_p = np.clip(o_wf + 0.06 * hardness * rng.randn(p, 1), 0.04, 0.9)
             tau_f = np.maximum(
                 o_tauf * (1 + 0.07 * hardness * rng.randn(p, 1)), 0.015)
@@ -406,7 +403,7 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
             # windows too much extra class signal; trimmed, not removed —
             # it remains the cue that keeps the GAN ahead of the SVM on
             # temperature (round-3 measured result)
-            o_rip = 0.13 * np.exp(0.50 * hardness * rng.randn())
+            o_rip = 0.16 * np.exp(0.50 * hardness * rng.randn())
             phase_r = 0.35 * hardness * rng.randn(p, 1)
             # the thermal ripple decays FASTER than the mechanical ring
             # (contact pressure stabilizes once the pad conforms), so the
@@ -660,12 +657,12 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 # post-contact) are barely attenuated
                 # round-4: 0.034 s build left +-25 ms windows too readable
                 # (probe: 73.0 % @0.05 s vs published 63.3)
-                # (r5.1 probed 0.062 here for the hot 0.05 s cell and
-                # reverted: build time delays the ring for EVERY window —
-                # the 0.2 s Fisher score halved; the short-window trim
-                # lives in the latency spread above + clutter level below,
-                # which decay away by ~100 ms)
-                t_build = 0.048 * np.exp(0.30 * hardness * arng.randn(p, 1))
+                # r5.4: 0.048 -> 0.056 — a gentle bump (0.062 was probed
+                # and too strong) to cool the 0.05-0.3 s mic cells the
+                # r5.3 texture boost left hot (+5.6 @0.05 s, +3.3 @0.1 s
+                # paired) while the >=0.5 s cells, dominated by settled
+                # ring + texture + tail, barely notice
+                t_build = 0.056 * np.exp(0.30 * hardness * arng.randn(p, 1))
                 ring *= 1.0 - np.exp(-np.maximum(tc, 0.0)
                                      / np.maximum(t_build, 1e-4))
                 # biexponential fundamental decay: a low free-ring tail
@@ -698,7 +695,7 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 )
                 ring += tail * (1.0 - np.exp(-tpos / np.maximum(t_build,
                                                                 1e-4)))
-                ring *= o_amp * 140.0 * v * q**1.143
+                ring *= o_amp * 140.0 * v * q
                 # class-generic impact transient: broadband noise burst PLUS
                 # a bed of excitation-dependent clutter modes (the fingertip/
                 # object/arm assembly rings at poke-random frequencies
@@ -749,7 +746,7 @@ def generate_processed(seed=0, forcetemp_time=4.0, contactmic_time=0.2,
                 # inversion behind the r4i3 rho=0.64 gate failure. The
                 # sqrt-frames texture accrual is the mechanism that pays
                 # out only in long windows.
-                tex *= 9.0 * o_rough * q**1.143 * pos
+                tex *= 9.0 * o_rough * q * pos
                 noise = noise_scale * 2.5 * arng.randn(p, n_c)
                 contact = ring + click + tex + noise
                 objects[obj]["contact"] = contact.astype(np.float32)
