@@ -106,6 +106,18 @@ def load_features(modalities=0, forcetemp_time=4, contactmic_time=0.2,
     use_synth = synthetic_seed is not None or not have_processed(
         data_dir, forcetemp_time, contactmic_time
     )
+    # MRGAN_REQUIRE_PROCESSED=1 forbids the silent synthetic fallback: a
+    # real-data run (e.g. the full-scale rehearsal sweep,
+    # tools/rehearse_full_scale.py) must FAIL on missing pickles, not
+    # quietly train on synthetic data that then masquerades as real-file
+    # evidence (caught in round 5: a partial rehearsal set produced a
+    # t5 sweep whose absent-config cells were synthetic without any label).
+    if (use_synth and synthetic_seed is None
+            and os.environ.get("MRGAN_REQUIRE_PROCESSED") == "1"):
+        raise FileNotFoundError(
+            f"processed pickles for ({forcetemp_time}, {contactmic_time}) "
+            f"not found in {data_dir} and MRGAN_REQUIRE_PROCESSED=1 forbids "
+            "the synthetic fallback")
     if use_synth:
         kw = dict(synthetic_kwargs or {})
         # skip the (dominant-cost) 48 kHz audio synthesis for audio-free

@@ -82,8 +82,12 @@ gate_splice full
 #    mesh (~35 min on this single-core host).
 timeout 1800 python tools/dp_parity.py --side single | tee /tmp/dp_single_queue.log
 echo "QUEUE: dp-single rc=$?"
-JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=10 \
+env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=10 \
   timeout 5400 python tools/dp_parity.py --side dp | tee /tmp/dp_dp_queue.log
+# (round-5 run: the bare VAR=... prefix before the line continuation was
+# executed as standalone assignments by bash -x — python saw the axon
+# platform and exited; the stage was re-run manually with `env`, which is
+# what the line above now uses)
 echo "QUEUE: dp-dp rc=$?"
 timeout 600 python tools/dp_parity.py --compare | tee /tmp/dp_compare_queue.log
 echo "QUEUE: dp-compare rc=$?"

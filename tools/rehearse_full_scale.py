@@ -152,7 +152,10 @@ def tables5(out_dir, epochs):
     cmd = [sys.executable, os.path.join(REPO, "mr_gan.py"), "--tables", "5",
            "--data-dir", out_dir, "--epochs", str(epochs), "--seed", "0",
            "--no-mesh", "--checkpoint", ckpt, "--metrics", met]
-    res = subprocess.run(cmd, cwd=REPO)
+    # forbid the silent synthetic fallback for absent configs — a cell in
+    # this sweep must mean "trained from the fabricated real-format files"
+    env = dict(os.environ, MRGAN_REQUIRE_PROCESSED="1")
+    res = subprocess.run(cmd, cwd=REPO, env=env)
     kid = resource.getrusage(resource.RUSAGE_CHILDREN).ru_maxrss / 1e6
     n_cells = 0
     if os.path.exists(ckpt):
