@@ -13,8 +13,13 @@ the real workload, not just dryrun-proven:
                   on the virtual CPU mesh. The protocol batch size (50,
                   reference mr_gan.py:61) must divide the data axis, so use
                   N=10 (not the test suite's 8):
-                   JAX_PLATFORMS=cpu
+                   MRGAN_PLATFORM=cpu
                    XLA_FLAGS=--xla_force_host_platform_device_count=10
+                  (MRGAN_PLATFORM, not JAX_PLATFORMS: this environment
+                  pre-imports jax via sitecustomize, so the env var is too
+                  late — mrgan_tpu/__init__.py flips the platform through
+                  jax.config instead; measured in round 5, JAX_PLATFORMS
+                  alone still yielded the 1-device TPU backend)
   --compare       read both artifacts and assert parity
 
 Budget (VERDICT r4 weak #6): the original 6-fold x 100-epoch dp-side config
@@ -67,7 +72,7 @@ def run_side(side, epochs, percent, folds):
         if n_dev < 2 or cfg.batch_size % n_dev:
             sys.exit(f"dp side needs >1 device with batch_size "
                      f"{cfg.batch_size} divisible by the device count "
-                     f"(got {n_dev}; set JAX_PLATFORMS=cpu and XLA_FLAGS="
+                     f"(got {n_dev}; set MRGAN_PLATFORM=cpu and XLA_FLAGS="
                      "--xla_force_host_platform_device_count=10)")
         mesh = mesh_util.make_mesh(n_cell=1, n_data=n_dev)
     splits = protocol.stratified_splits(np.asarray(y), n_splits=6,

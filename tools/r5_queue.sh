@@ -82,7 +82,7 @@ gate_splice full
 #    mesh (~35 min on this single-core host).
 timeout 1800 python tools/dp_parity.py --side single | tee /tmp/dp_single_queue.log
 echo "QUEUE: dp-single rc=$?"
-env JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=10 \
+env MRGAN_PLATFORM=cpu XLA_FLAGS=--xla_force_host_platform_device_count=10 \
   timeout 5400 python tools/dp_parity.py --side dp | tee /tmp/dp_dp_queue.log
 # (round-5 run: the bare VAR=... prefix before the line continuation was
 # executed as standalone assignments by bash -x — python saw the axon
