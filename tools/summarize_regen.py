@@ -138,7 +138,10 @@ def build(artifacts):
         ("Table 3 (GAN, LOO over 72 objects)", "t3_sweep", "t3_metrics", 10),
         ("Table 5 (GAN, duration sweep)", "t5_sweep", "t5_metrics", 28),
         ("Table 6 (GAN, unlabeled sweep)", "t6_sweep", "t6_metrics", 14),
-        ("Tables 2/4 (MLP baseline)", "t24_nn", "t24_nn_metrics", 14),
+        # 24 = table 2's 14 k-fold cells + table 4's 10 LOO cells (the
+        # round-5 queue regenerates both; earlier rounds only ran table 2,
+        # which is why this expectation read 14 before)
+        ("Tables 2/4 (MLP baseline)", "t24_nn", "t24_nn_metrics", 24),
         ("Table 2 (SVM baseline)", "t2_svm", "t2_svm_metrics", 14),
     ]
     L += ["| Sweep | cells done | cell wall |", "|---|---|---|"]
