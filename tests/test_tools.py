@@ -219,3 +219,59 @@ def test_parity_gate_on_reduced_sweep(tmp_path):
     # all 7 Table-1 families were swept and evaluated (not missing)
     assert "no regenerated curve" not in res.stdout
     assert "FAIL" in res.stdout
+
+
+def test_mixed_generation_stamps_refused(tmp_path):
+    """VERDICT r4 weak #4: the gate must hard-refuse artifact sets that mix
+    generator versions (exit 2, before any curve evaluation)."""
+    art = _t1_artifacts(tmp_path)
+    lines = (art / "t1_sweep.jsonl").read_text().splitlines()
+    recs = [json.loads(l) for l in lines]
+    half = len(recs) // 2
+    for i, r in enumerate(recs):
+        r["stamp"] = {"generator": "vA" if i < half else "vB", "git": "x"}
+    (art / "t1_sweep.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs) + "\n")
+    res = _run_gate(art)
+    assert res.returncode == 2
+    assert "REFUSED" in res.stdout
+    # uniform stamps pass the check (and then run the gate normally)
+    for r in recs:
+        r["stamp"] = {"generator": "vA", "git": "x"}
+    (art / "t1_sweep.jsonl").write_text(
+        "\n".join(json.dumps(r) for r in recs) + "\n")
+    res = _run_gate(art)
+    assert res.returncode == 0, res.stdout
+    assert "vA" in res.stdout  # the gate names the stamp it validated
+
+
+def test_checkpoint_records_and_reloads_stamps(tmp_path):
+    from mrgan_tpu.utils import checkpoint as ckpt_lib
+
+    path = tmp_path / "sweep.jsonl"
+    ck = ckpt_lib.SweepCheckpoint(str(path))
+    ck.record([0.1, 0.2], stamp={"generator": "vX", "git": "abc"},
+              model="gan", table=1, modality=0, percent=1)
+    ck.record([0.3], model="gan", table=1, modality=0, percent=2)  # unstamped
+    re = ckpt_lib.SweepCheckpoint(str(path))
+    assert re.get(model="gan", table=1, modality=0, percent=1) == [0.1, 0.2]
+    assert re.generators == {"vX", "unstamped"}
+    assert ckpt_lib.file_generators(str(path)) == {"vX", "unstamped"}
+
+
+def test_require_processed_forbids_synthetic_fallback(tmp_path, monkeypatch):
+    """MRGAN_REQUIRE_PROCESSED=1 (set by the rehearsal sweep) must raise on
+    missing pickles instead of silently generating synthetic data (round-5
+    finding: absent-config rehearsal cells masqueraded as real-file runs)."""
+    from mrgan_tpu.data import mreo
+
+    monkeypatch.setenv("MRGAN_REQUIRE_PROCESSED", "1")
+    with pytest.raises(FileNotFoundError, match="forbids"):
+        mreo.load_features(modalities=0, forcetemp_time=0.5,
+                           contactmic_time=0.05, data_dir=str(tmp_path))
+    # an explicit synthetic request is still honored
+    x, y = mreo.load_features(
+        modalities=0, forcetemp_time=0.5, contactmic_time=0.05,
+        data_dir=str(tmp_path), synthetic_seed=0,
+        synthetic_kwargs=dict(pokes_per_object=2, objects_per_material=2))
+    assert len(x) == len(y) == 6 * 2 * 2
